@@ -1,0 +1,230 @@
+"""Planar geometry kernels (numpy, used inside Arrow/pandas UDFs) + columnar helpers.
+
+Semantics deliberately mirror the reference's *planar* esri geometry on raw
+lat/lon (reference areas/AreaComparision.scala:8-27 uses SpatialReference
+wkid 1 — planar — and acknowledges the 180th-meridian problem; we reproduce
+planar behavior rather than "fixing" it to spherical, or outputs diverge).
+
+Polygons are single rings stored as parallel ``lats``/``lons`` double arrays
+(reference outputarea.proto:3-9 packed-double encoding), NOT closed — the
+closing edge last->first is implicit (esri Polygon auto-closes paths,
+reference resolving/PolygonBuilding.scala:26-45).
+
+Containment is boundary-inclusive, matching esri OperatorContains/OGC
+Contains: a polygon contains another whose boundary touches its own
+(GraphBuilderSpec relies on this: 'Overlapping' shares edges with 'Large').
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Columnar (JVM-side) helpers — operate on array<double> lat/lon columns.
+# ---------------------------------------------------------------------------
+
+def bbox_col(lats: Column, lons: Column) -> Column:
+    """bbox struct<min_lat,min_lon,max_lat,max_lon> from packed ring arrays.
+
+    Pure columnar — reference resolving/BoundingBox.scala:7-23 equivalent.
+    """
+    return F.struct(
+        F.array_min(lats).alias("min_lat"),
+        F.array_min(lons).alias("min_lon"),
+        F.array_max(lats).alias("max_lat"),
+        F.array_max(lons).alias("max_lon"),
+    )
+
+
+def shoelace_area_col(lats: Column, lons: Column) -> Column:
+    """Planar |shoelace| area of an open ring, fully JVM-side.
+
+    Matches esri ``Math.abs(polygon.calculateArea2D())`` (reference
+    areas/AreaComparision.scala:25-27): a *relative* size used only for
+    ordering. Uses aggregate over zipped consecutive-vertex cross products,
+    with the implicit closing edge handled by rotating the arrays.
+    """
+    # x_i*y_{i+1} - x_{i+1}*y_i summed over edges incl. last->first.
+    nxt_lats = F.concat(F.slice(lats, 2, 1_000_000_000), F.slice(lats, 1, 1))
+    nxt_lons = F.concat(F.slice(lons, 2, 1_000_000_000), F.slice(lons, 1, 1))
+    cross = F.zip_with(
+        F.arrays_zip(lats.alias("y"), lons.alias("x")),
+        F.arrays_zip(nxt_lats.alias("y"), nxt_lons.alias("x")),
+        lambda a, b: a["x"] * b["y"] - b["x"] * a["y"],
+    )
+    return F.abs(
+        F.aggregate(cross, F.lit(0.0), lambda acc, v: acc + v) / F.lit(2.0)
+    )
+
+
+def bbox_contains_expr(a: str, b: str) -> Column:
+    """a.bbox contains b.bbox (boundary-inclusive), columnar prefilter."""
+    return (
+        (F.col(f"{a}.min_lat") <= F.col(f"{b}.min_lat"))
+        & (F.col(f"{a}.min_lon") <= F.col(f"{b}.min_lon"))
+        & (F.col(f"{a}.max_lat") >= F.col(f"{b}.max_lat"))
+        & (F.col(f"{a}.max_lon") >= F.col(f"{b}.max_lon"))
+    )
+
+
+def bbox_intersects_expr(a: str, b: str) -> Column:
+    """a.bbox intersects b.bbox (boundary-inclusive), columnar prefilter."""
+    return (
+        (F.col(f"{a}.min_lat") <= F.col(f"{b}.max_lat"))
+        & (F.col(f"{b}.min_lat") <= F.col(f"{a}.max_lat"))
+        & (F.col(f"{a}.min_lon") <= F.col(f"{b}.max_lon"))
+        & (F.col(f"{b}.min_lon") <= F.col(f"{a}.max_lon"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# numpy kernels (Arrow-batched inside pandas UDFs — never per-row Python).
+# ---------------------------------------------------------------------------
+
+_EPS = 1e-12
+
+
+def points_in_ring(py: np.ndarray, px: np.ndarray, ry: np.ndarray, rx: np.ndarray) -> np.ndarray:
+    """Vectorized boundary-inclusive point-in-polygon (crossing number).
+
+    py/px: query points (lat, lon), shape (n,). ry/rx: open ring, shape (m,).
+    Returns bool (n,). Points exactly on an edge/vertex count as inside
+    (esri OperatorContains boundary semantics — reference
+    osm-jigsaw-api/app/areas/AreaComparison.scala:14-46 analog).
+    """
+    n = py.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    y1, x1 = ry, rx
+    y2, x2 = np.roll(ry, -1), np.roll(rx, -1)
+
+    py_ = py[:, None]
+    px_ = px[:, None]
+
+    # On-edge test: collinear + within segment bbox.
+    cross = (x2 - x1) * (py_ - y1) - (y2 - y1) * (px_ - x1)
+    seg_len2 = (x2 - x1) ** 2 + (y2 - y1) ** 2
+    on_line = np.abs(cross) <= _EPS * np.maximum(seg_len2, 1.0)
+    in_seg = (
+        (px_ >= np.minimum(x1, x2) - _EPS)
+        & (px_ <= np.maximum(x1, x2) + _EPS)
+        & (py_ >= np.minimum(y1, y2) - _EPS)
+        & (py_ <= np.maximum(y1, y2) + _EPS)
+    )
+    on_boundary = (on_line & in_seg).any(axis=1)
+
+    # Crossing number on the horizontal ray to +x.
+    cond = (y1 > py_) != (y2 > py_)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xin = x1 + (py_ - y1) * (x2 - x1) / np.where(y2 == y1, np.inf, (y2 - y1))
+    crossings = (cond & (px_ < xin)).sum(axis=1)
+    return on_boundary | (crossings % 2 == 1)
+
+
+def _proper_segment_crossings(ay1, ax1, ay2, ax2, by1, bx1, by2, bx2) -> bool:
+    """True if any segment of ring a properly crosses any segment of ring b.
+
+    Proper crossing = intersection strictly interior to both segments.
+    Touching at endpoints or collinear overlap does NOT count (boundary
+    contact is allowed by esri Contains).
+    """
+    # Broadcast a-segments (n,1) against b-segments (1,m).
+    d1 = (ax2 - ax1)[:, None] * (by1[None, :] - ay1[:, None]) - (ay2 - ay1)[:, None] * (bx1[None, :] - ax1[:, None])
+    d2 = (ax2 - ax1)[:, None] * (by2[None, :] - ay1[:, None]) - (ay2 - ay1)[:, None] * (bx2[None, :] - ax1[:, None])
+    d3 = (bx2 - bx1)[None, :] * (ay1[:, None] - by1[None, :]) - (by2 - by1)[None, :] * (ax1[:, None] - bx1[None, :])
+    d4 = (bx2 - bx1)[None, :] * (ay2[:, None] - by1[None, :]) - (by2 - by1)[None, :] * (ax2[:, None] - bx1[None, :])
+    strict = ((d1 * d2) < -_EPS) & ((d3 * d4) < -_EPS)
+    return bool(strict.any())
+
+
+def ring_contains_ring(ay: np.ndarray, ax: np.ndarray, by: np.ndarray, bx: np.ndarray) -> bool:
+    """Planar polygon-contains-polygon (boundary-inclusive).
+
+    Mirrors reference areaContains (areas/AreaComparision.scala:12-14):
+    all vertices of b inside-or-on a, and no proper edge crossing.
+    Identical rings contain each other (areaSame semantics, lines 20-23).
+    """
+    if not points_in_ring(by, bx, ay, ax).all():
+        return False
+    ay2, ax2 = np.roll(ay, -1), np.roll(ax, -1)
+    by2, bx2 = np.roll(by, -1), np.roll(bx, -1)
+    return not _proper_segment_crossings(ay, ax, ay2, ax2, by, bx, by2, bx2)
+
+
+def ring_intersects_rect(ry: np.ndarray, rx: np.ndarray,
+                         min_lat: float, min_lon: float,
+                         max_lat: float, max_lon: float) -> bool:
+    """Polygon/rectangle intersects (boundary-inclusive) — tiling refinement.
+
+    Mirrors reference areasIntersect (areas/AreaComparision.scala:16-18)
+    restricted to rect tiles (steps/Tiling.scala:69-98 usage).
+    """
+    # Any ring vertex inside rect?
+    if ((ry >= min_lat) & (ry <= max_lat) & (rx >= min_lon) & (rx <= max_lon)).any():
+        return True
+    # Any rect corner inside ring?
+    cy = np.array([min_lat, min_lat, max_lat, max_lat])
+    cx = np.array([min_lon, max_lon, min_lon, max_lon])
+    if points_in_ring(cy, cx, ry, rx).any():
+        return True
+    # Any edge crossing (incl. improper — touching counts as intersecting)?
+    recty = np.array([min_lat, min_lat, max_lat, max_lat])
+    rectx = np.array([min_lon, max_lon, max_lon, min_lon])
+    recty2, rectx2 = np.roll(recty, -1), np.roll(rectx, -1)
+    ry2, rx2 = np.roll(ry, -1), np.roll(rx, -1)
+    return _segments_touch(ry, rx, ry2, rx2, recty, rectx, recty2, rectx2)
+
+
+def _segments_touch(ay1, ax1, ay2, ax2, by1, bx1, by2, bx2) -> bool:
+    """Any intersection at all (incl. endpoint touch / collinear overlap)."""
+    d1 = (ax2 - ax1)[:, None] * (by1[None, :] - ay1[:, None]) - (ay2 - ay1)[:, None] * (bx1[None, :] - ax1[:, None])
+    d2 = (ax2 - ax1)[:, None] * (by2[None, :] - ay1[:, None]) - (ay2 - ay1)[:, None] * (bx2[None, :] - ax1[:, None])
+    d3 = (bx2 - bx1)[None, :] * (ay1[:, None] - by1[None, :]) - (by2 - by1)[None, :] * (ax1[:, None] - bx1[None, :])
+    d4 = (bx2 - bx1)[None, :] * (ay2[:, None] - by1[None, :]) - (by2 - by1)[None, :] * (ax2[:, None] - bx1[None, :])
+    general = ((d1 * d2) <= _EPS) & ((d3 * d4) <= _EPS)
+    if not general.any():
+        return False
+    # The <= test admits collinear-but-disjoint pairs; verify those with
+    # bbox overlap of the segment pairs flagged general.
+    ai, bi = np.nonzero(general)
+    for i, j in zip(ai, bi):
+        if (
+            max(min(ax1[i], ax2[i]), min(bx1[j], bx2[j])) <= min(max(ax1[i], ax2[i]), max(bx1[j], bx2[j])) + _EPS
+            and max(min(ay1[i], ay2[i]), min(by1[j], by2[j])) <= min(max(ay1[i], ay2[i]), max(by1[j], by2[j])) + _EPS
+        ):
+            return True
+    return False
+
+
+def shoelace_area_np(ry: np.ndarray, rx: np.ndarray) -> float:
+    """numpy twin of shoelace_area_col (for UDF-side use/tests)."""
+    y2, x2 = np.roll(ry, -1), np.roll(rx, -1)
+    return float(abs(np.sum(rx * y2 - x2 * ry)) / 2.0)
+
+
+def normalize_ring(ry: np.ndarray, rx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical form of an open ring: rotation/direction invariant.
+
+    Used as the exact-equality dedup key replacing the reference's
+    O(n·w) equal-area + mutual-containment scan
+    (steps/RenderAndDeduplicateAreas.scala:72-120): two rings with the same
+    vertex cycle (either direction, any starting point) normalize bytewise
+    identically.
+    """
+    pts = list(zip(ry.tolist(), rx.tolist()))
+    # Drop explicit closing vertex if present.
+    if len(pts) > 1 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    n = len(pts)
+    if n == 0:
+        return np.array([]), np.array([])
+    start = min(range(n), key=lambda i: pts[i])
+    fwd = [pts[(start + i) % n] for i in range(n)]
+    rev = [pts[(start - i) % n] for i in range(n)]
+    best = min(fwd, rev)
+    ys = np.array([p[0] for p in best])
+    xs = np.array([p[1] for p in best])
+    return ys, xs
