@@ -1,0 +1,150 @@
+"""Point→enclosing-area-path geocoding as cell-indexed joins.
+
+Re-expresses the reference API's `pathsDownTo` descent
+(osm-jigsaw-api/app/graph/GraphService.scala:63-90): load a geohash segment,
+recursively keep children whose polygon contains the point, return ALL
+root-to-leaf paths (multi-parent ⇒ multiple paths), dropping the synthetic
+root. Its per-request LRU caches (segments/polygons/tags,
+GraphService.scala:23-25) have no analog — Spark caching of the shared area
+index plays that role.
+
+Batch formulation (points is a DataFrame — one query or millions):
+
+1. candidates: point cells at every resolution equi-joined against the
+   shared exploded covering index (operators/containment.area_cell_index);
+2. bbox check columnar, then Arrow-vectorized boundary-inclusive PIP
+   (reference app/areas/AreaComparison.scala:14-46 semantics);
+3. paths: iterative frontier join over graph_edges restricted to containing
+   areas — every area containing the point has all its ancestors containing
+   it too, so the induced subgraph's root-to-leaf chains are exactly the
+   reference's descent output.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import cells as C
+from ..functions.geometry import points_in_ring
+from .containment import ROOT_ID, area_cell_index
+
+
+@F.pandas_udf(T.BooleanType())
+def _pip_udf(lat: pd.Series, lon: pd.Series,
+             lats: pd.Series, lons: pd.Series) -> pd.Series:
+    out = np.empty(len(lat), dtype=bool)
+    for i in range(len(lat)):
+        out[i] = bool(
+            points_in_ring(
+                np.array([lat.iloc[i]]), np.array([lon.iloc[i]]),
+                np.asarray(lats.iloc[i]), np.asarray(lons.iloc[i]),
+            )[0]
+        )
+    return pd.Series(out)
+
+
+def areas_containing_points(areas: DataFrame, points: DataFrame) -> DataFrame:
+    """(point_id, lat, lon, area_key, canonical_osm_id, area) for every area
+    whose polygon contains the point (boundary-inclusive)."""
+    idx = area_cell_index(areas)
+    pts = points.select(
+        "point_id", "lat", "lon",
+        F.explode(C.point_cells_all_res(F.col("lat"), F.col("lon"))).alias("cell"),
+    )
+    cand = pts.join(idx, "cell").filter(
+        (F.col("lat") >= F.col("bbox.min_lat"))
+        & (F.col("lat") <= F.col("bbox.max_lat"))
+        & (F.col("lon") >= F.col("bbox.min_lon"))
+        & (F.col("lon") <= F.col("bbox.max_lon"))
+    )
+    hit = cand.withColumn(
+        "inside", _pip_udf("lat", "lon", "lats", "lons")
+    ).filter("inside")
+    return hit.select(
+        "point_id", "lat", "lon", "area_key", "canonical_osm_id", "area"
+    )
+
+
+def geocode_paths(edges: DataFrame, containing: DataFrame,
+                  max_depth: int = 64) -> DataFrame:
+    """All root-to-leaf paths per point through the containing-area subgraph.
+
+    Output: (point_id, path array<string> of canonical osm_ids root-first,
+    path_keys array<string>). Points inside no area produce no rows
+    (reference returns an empty path list).
+    """
+    member = containing.select("point_id", "area_key").distinct()
+    # edges usable for a point: child contained AND (parent is root or contained)
+    pe = (
+        edges.join(member.withColumnRenamed("area_key", "child_key"),
+                   ["child_key"])
+        .join(
+            member.select(F.col("point_id").alias("pid"),
+                          F.col("area_key").alias("parent_key")),
+            ["parent_key", ], "left",
+        )
+        .filter(
+            (F.col("parent_key") == ROOT_ID)
+            | (F.col("pid") == F.col("point_id"))
+        )
+        .select("point_id", "parent_key", "child_key", "child_osm_id")
+        .distinct()
+    )
+    pe = pe.localCheckpoint(eager=True)
+    # renamed copies avoid self-join ambiguity in the iterative loop
+    pe_b = pe.select(
+        F.col("point_id").alias("b_point_id"),
+        F.col("parent_key").alias("b_parent_key"),
+        F.col("child_key").alias("b_child_key"),
+        F.col("child_osm_id").alias("b_child_osm_id"),
+    )
+    parents = pe.select(
+        F.col("point_id").alias("tp"), F.col("parent_key").alias("tn")
+    ).distinct().localCheckpoint(eager=True)
+
+    frontier = (
+        pe.filter(F.col("parent_key") == ROOT_ID)
+        .select(
+            "point_id",
+            F.col("child_key").alias("node"),
+            F.array(F.col("child_osm_id")).alias("path"),
+            F.array(F.col("child_key")).alias("path_keys"),
+        )
+    )
+    results = None
+    for _ in range(max_depth):
+        if frontier.isEmpty():
+            break
+        frontier = frontier.localCheckpoint(eager=True)
+        ext = frontier.join(
+            pe_b, (frontier["point_id"] == pe_b["b_point_id"])
+            & (frontier["node"] == pe_b["b_parent_key"]),
+        ).select(
+            frontier["point_id"],
+            F.col("b_child_key").alias("node"),
+            F.array_append(frontier["path"], F.col("b_child_osm_id")).alias("path"),
+            F.array_append(frontier["path_keys"], F.col("b_child_key")).alias("path_keys"),
+        )
+        # terminal rows: no outgoing edge for (point, node)
+        terminals = frontier.join(
+            parents,
+            (frontier["point_id"] == parents["tp"]) & (frontier["node"] == parents["tn"]),
+            "left_anti",
+        ).select("point_id", "path", "path_keys")
+        results = terminals if results is None else results.unionByName(terminals)
+        frontier = ext
+    if results is None:
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            [], "point_id string, path array<string>, path_keys array<string>")
+    return results
+
+
+def geocode(areas: DataFrame, edges: DataFrame, points: DataFrame) -> DataFrame:
+    """points(point_id, lat, lon) → (point_id, path) rows."""
+    containing = areas_containing_points(areas, points)
+    return geocode_paths(edges, containing)

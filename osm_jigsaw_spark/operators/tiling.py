@@ -1,0 +1,102 @@
+"""Geohash tiling: raster-tile ↔ vector-area assignment + per-tile graphs.
+
+Re-expresses the reference `tile` step (steps/Tiling.scala:20-135): walk the
+graph per geohash tile, keep subtrees intersecting the tile, write per-tile
+graph/areas/tags segments. Duplication across tiles is expected output
+(parser README.md:137-162), not overhead.
+
+Spark-first: the tile grid is a small dimension table
+(functions/cells.geohash_tiles — counts 32/1,024/32,768 at res 1/2/3,
+tiles/TileGeneratorSpec.scala:11-13); assignment is a cell equi-join (areas
+covered at the tile resolution join tiles on the packed cell key — tiles ARE
+grid cells, so no range math) refined by an exact polygon∩rect kernel
+(reference areasIntersect, areas/AreaComparision.scala:16-18). The per-tile
+graph is an edge filter over assignments plus re-rooting — the reference's
+DFS walk replaced by two joins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import cells as C
+from ..functions.geometry import ring_intersects_rect
+from .containment import ROOT_ID
+
+
+@F.pandas_udf(T.BooleanType())
+def _intersects_rect_udf(lats: pd.Series, lons: pd.Series,
+                         min_lat: pd.Series, min_lon: pd.Series,
+                         max_lat: pd.Series, max_lon: pd.Series) -> pd.Series:
+    out = np.empty(len(lats), dtype=bool)
+    for i in range(len(lats)):
+        out[i] = ring_intersects_rect(
+            np.asarray(lats.iloc[i]), np.asarray(lons.iloc[i]),
+            float(min_lat.iloc[i]), float(min_lon.iloc[i]),
+            float(max_lat.iloc[i]), float(max_lon.iloc[i]),
+        )
+    return pd.Series(out)
+
+
+def tile_assignments(spark: SparkSession, areas: DataFrame,
+                     res: int = 1) -> DataFrame:
+    """(tile_id, area_key, canonical_osm_id) for every tile the area's
+    polygon intersects."""
+    tiles = C.geohash_tiles(spark, res).select(
+        "tile_id", "cell",
+        F.col("min_lat").alias("t_min_lat"), F.col("min_lon").alias("t_min_lon"),
+        F.col("max_lat").alias("t_max_lat"), F.col("max_lon").alias("t_max_lon"),
+    )
+    covered = areas.select(
+        F.col("ring_hash").alias("area_key"), "canonical_osm_id", "lats", "lons",
+        F.explode(C.covering_cells_at(F.col("bbox"), res)).alias("cell"),
+    )
+    # tiles is tiny (≤32k rows) — broadcast; covering join prunes to
+    # bbox-overlapping tiles, UDF refines to true polygon∩rect.
+    cand = covered.join(F.broadcast(tiles), "cell")
+    hit = cand.withColumn(
+        "touches",
+        _intersects_rect_udf("lats", "lons", "t_min_lat", "t_min_lon",
+                             "t_max_lat", "t_max_lon"),
+    ).filter("touches")
+    return hit.select("tile_id", "area_key", "canonical_osm_id")
+
+
+def tile_graph(edges: DataFrame, assignments: DataFrame) -> DataFrame:
+    """Per-tile graph edges, re-rooted: an edge survives in a tile iff both
+    endpoints intersect the tile; areas whose parent is absent from the tile
+    (or whose parent is the global root) hang off the tile root (-1) —
+    reference Tiling.scala:51-133 subtree filter."""
+    a_parent = assignments.select(
+        F.col("tile_id"), F.col("area_key").alias("parent_key"))
+    a_child = assignments.select(
+        F.col("tile_id"), F.col("area_key").alias("child_key"),
+        F.col("canonical_osm_id").alias("child_osm_id"))
+
+    inner = (
+        edges.join(a_child, "child_key")
+        .join(a_parent, ["tile_id", "parent_key"], "left_semi")
+        .filter(F.col("parent_key") != ROOT_ID)
+        .select("tile_id", "parent_key", "child_key", "child_osm_id")
+    )
+    # re-root: per tile, children with no surviving in-tile parent edge
+    rerooted = (
+        a_child.join(
+            inner.select("tile_id", F.col("child_key")).distinct(),
+            ["tile_id", "child_key"], "left_anti",
+        ).select(
+            "tile_id",
+            F.lit(ROOT_ID).alias("parent_key"),
+            "child_key", "child_osm_id",
+        )
+    )
+    return inner.unionByName(rerooted)
+
+
+def tile_counts(spark: SparkSession, res: int) -> int:
+    """Grid-size parity helper (32/1,024/32,768 at res 1/2/3)."""
+    return C.geohash_tiles(spark, res).count()
