@@ -63,7 +63,10 @@ def assign_ids(df: DataFrame, order_cols: list, id_col: str = "area_id",
                 out.append(grp)
             yield pd.concat(out) if out else pdf.assign(_lrank=pd.Series(dtype="int64"))
 
-    schema = with_pid.schema.add("_lrank", "long")
+    from pyspark.sql import types as T  # avoid mutating the cached schema
+    schema = T.StructType(
+        list(with_pid.schema.fields) + [T.StructField("_lrank", T.LongType())]
+    )
     local = with_pid.mapInPandas(add_local_rank, schema=schema)
     return (
         local.join(F.broadcast(offsets_df), "_pid")
