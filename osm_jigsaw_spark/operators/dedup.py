@@ -1,0 +1,252 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data-pipeline extensions (no reference analog — the reference's
+only dedup is the geometric area dedup, steps/RenderAndDeduplicateAreas.scala).
+All four are shuffle-conscious:
+
+- exact: one groupBy on the full text (map-side partial agg applies);
+- MinHash+LSH: shingle explode → K portable min-hashes via a broadcast
+  parameter table → banding → candidates only where a band collides →
+  exact-Jaccard verification join. Never an all-pairs product.
+- SimHash: token hash sign-sums per bit (cross join with a 48-row bit
+  dimension — broadcast), near-dup candidates from 12-bit chunk collisions,
+  Hamming verify via bit_count(xor).
+- n-gram Jaccard: shingle equi-join with per-pair counts; intended for
+  bounded subsets / post-LSH verification at scale.
+
+Everything is built-in columnar expressions on portable arithmetic
+(functions shared with the DuckDB oracles — see textops.hash60).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textops import hash60, words_col
+
+P = 2_147_483_647          # 2^31-1 prime for the affine permutations
+MINHASH_K = 16             # signature length
+MINHASH_BANDS = 4          # 4 bands × 4 rows
+SHINGLE_K = 3              # word-shingle width
+SIMHASH_BITS = 48          # keep sign bit clear in both engines
+SIMHASH_CHUNKS = 4         # 12-bit chunks for candidate banding
+
+
+def minhash_params() -> list[tuple[int, int, int]]:
+    """Deterministic affine permutation params (j, a, b) — shared with SQL."""
+    return [
+        (j, (j * 2_654_435_761 + 1) % P, (j * 40_503 + 7) % P)
+        for j in range(MINHASH_K)
+    ]
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """(canonical_doc_id, n_dups) groups of byte-identical texts (>1)."""
+    return (
+        documents.groupBy("text")
+        .agg(F.min("doc_id").alias("canonical_doc_id"),
+             F.count("*").alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+        .select("canonical_doc_id", "n_dups")
+    )
+
+
+def shingles(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, shingle) — distinct k-word shingles."""
+    words = words_col(F.col("text"))
+    # guard: Spark's sequence(1, 0) counts DOWN — emit empty when too short
+    sh = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        documents.select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    """(doc_id, sigs array<long> of length MINHASH_K)."""
+    spark = documents.sparkSession
+    params = spark.createDataFrame(minhash_params(), "j int, a long, b long")
+    sh = shingles(documents).withColumn("h", hash60(F.col("shingle")) % P)
+    mins = (
+        sh.crossJoin(F.broadcast(params))
+        .select("doc_id", "j", ((F.col("a") * F.col("h") + F.col("b")) % P).alias("v"))
+        .groupBy("doc_id", "j")
+        .agg(F.min("v").alias("sig"))
+    )
+    return mins.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "sig"))),
+            lambda s: s["sig"],
+        ).alias("sigs")
+    )
+
+
+def lsh_candidates(signatures: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) pairs sharing ≥1 LSH band."""
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    bands = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        *[F.element_at("sigs", b * rows_per_band + r + 1)
+                          for r in range(rows_per_band)],
+                    ).alias("key"),
+                )
+                for b in range(MINHASH_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    other = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("band"), F.col("key"))
+    return (
+        bands.join(other, ["band", "key"])
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(documents: DataFrame, pairs: DataFrame,
+                   threshold: float = 0.5) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — exact shingle-set Jaccard over candidate
+    pairs only."""
+    sh = shingles(documents)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(a, "doc_a").join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_near_duplicates(documents: DataFrame,
+                            threshold: float = 0.5) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: sign → band → verify."""
+    sigs = minhash_signatures(documents)
+    cands = lsh_candidates(sigs)
+    return jaccard_verify(documents, cands, threshold)
+
+
+def simhash_signatures(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 48-bit sign-sum signature over token hashes."""
+    spark = documents.sparkSession
+    bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("i"))
+    toks = documents.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("w")
+    ).withColumn("h", hash60(F.col("w")))
+    sums = (
+        toks.crossJoin(F.broadcast(bits))
+        .select(
+            "doc_id", "i",
+            F.when(F.expr("(h >> i) & 1") == 1,
+                   F.lit(1)).otherwise(F.lit(-1)).alias("s"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.sum("s").alias("total"))
+    )
+    return sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("total") > 0, F.expr("shiftleft(1L, i)"))
+            .otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def simhash_near_duplicates(documents: DataFrame,
+                            max_hamming: int = 6) -> DataFrame:
+    """(doc_a, doc_b, hamming) — pairs within Hamming distance, candidates
+    from 12-bit chunk equality (any identical chunk ⇒ candidate)."""
+    sigs = simhash_signatures(documents)
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    chunks = sigs.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("c"),
+                    F.shiftright(F.col("simhash"), c * chunk_bits)
+                    .bitwiseAND((1 << chunk_bits) - 1).alias("v"),
+                )
+                for c in range(SIMHASH_CHUNKS)
+            ])
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.c", "ch.v")
+    other = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+        "c", "v")
+    cand = (
+        chunks.join(other, ["c", "v"])
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b",
+                F.col("simhash").alias("sim_a"), "sim_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(documents: DataFrame, k: int = 5,
+                        threshold: float = 0.3,
+                        max_doc_id: int | None = 1000) -> DataFrame:
+    """(doc_a, doc_b, jaccard) via direct k-gram shingle join.
+
+    O(pairs-sharing-a-shingle); bound the input (max_doc_id) or use as the
+    verification stage after LSH at scale.
+    """
+    docs = documents
+    if max_doc_id is not None:
+        docs = docs.filter(F.col("doc_id") < max_doc_id)
+    sh = shingles(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -172,7 +172,8 @@ def name_points(geocode_paths_df: DataFrame, areas: DataFrame,
                 ids.append(row["osm_id"])
                 steps[int(row["pos"])] = (ids, float(row["area"]))
             paths[key] = [steps[p] for p in sorted(steps)]
-        name = name_for_paths(list(paths.values()), tag_map, lang)
+        ordered_paths = [paths[k] for k in sorted(paths.keys())]
+        name = name_for_paths(ordered_paths, tag_map, lang)
         return pd.DataFrame({"point_id": [point_id], "name": [name]})
 
     return with_tags.groupBy("point_id").applyInPandas(

