@@ -80,6 +80,57 @@ def bbox_intersects_expr(a: str, b: str) -> Column:
     )
 
 
+def pip_col(py: Column, px: Column, lats: Column, lons: Column,
+            boundary: bool = True, eps: float = 1e-12) -> Column:
+    """Boundary-inclusive point-in-polygon as a PURE COLUMN EXPRESSION.
+
+    Crossing-number over the zipped edge list (zip_with + aggregate —
+    whole-stage codegen, no Python). Same semantics as points_in_ring;
+    used in the geocode hot path where per-row Arrow overhead dominates.
+    """
+    big = 1_000_000_000
+    nxt_lats = F.concat(F.slice(lats, 2, big), F.slice(lats, 1, 1))
+    nxt_lons = F.concat(F.slice(lons, 2, big), F.slice(lons, 1, 1))
+    edges = F.arrays_zip(
+        lats.alias("y1"), lons.alias("x1"),
+        nxt_lats.alias("y2"), nxt_lons.alias("x2"),
+    )
+
+    def crossing(acc, e):
+        cond = (e["y1"] > py) != (e["y2"] > py)
+        xin = e["x1"] + (py - e["y1"]) * (e["x2"] - e["x1"]) \
+            / (e["y2"] - e["y1"])
+        return acc + F.when(cond & (px < xin), 1).otherwise(0)
+
+    inside = F.aggregate(edges, F.lit(0), crossing) % 2 == 1
+    if not boundary:
+        return inside
+
+    def on_edge(e):
+        cross = (e["x2"] - e["x1"]) * (py - e["y1"]) \
+            - (e["y2"] - e["y1"]) * (px - e["x1"])
+        seg2 = (e["x2"] - e["x1"]) ** 2 + (e["y2"] - e["y1"]) ** 2
+        return (
+            (F.abs(cross) <= F.lit(eps) * F.greatest(seg2, F.lit(1.0)))
+            & (px >= F.least(e["x1"], e["x2"]) - eps)
+            & (px <= F.greatest(e["x1"], e["x2"]) + eps)
+            & (py >= F.least(e["y1"], e["y2"]) - eps)
+            & (py <= F.greatest(e["y1"], e["y2"]) + eps)
+        )
+
+    return inside | F.exists(edges, on_edge)
+
+
+def is_axis_rect_col(lats: Column, lons: Column, bbox: Column) -> Column:
+    """True when the ring is exactly its bbox (4-vertex axis-aligned rect) —
+    lets containment skip the exact-geometry kernel (bbox test is exact)."""
+    return (
+        (F.size(lats) == 4)
+        & (F.size(F.array_distinct(lats)) == 2)
+        & (F.size(F.array_distinct(lons)) == 2)
+    )
+
+
 # ---------------------------------------------------------------------------
 # numpy kernels (Arrow-batched inside pandas UDFs — never per-row Python).
 # ---------------------------------------------------------------------------

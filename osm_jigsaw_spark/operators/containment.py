@@ -40,7 +40,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import cells as C
-from ..functions.geometry import bbox_contains_expr, ring_contains_ring
+from ..functions.geometry import (
+    bbox_contains_expr,
+    is_axis_rect_col,
+    ring_contains_ring,
+)
 
 ROOT_ID = "-1"  # synthetic root osm_id (reference uses area id -1)
 
@@ -111,13 +115,27 @@ def contains_pairs(areas: DataFrame) -> DataFrame:
         # post-dedup, but keep the cheap area guard for skew reduction:
         .filter(F.col("parent_area") >= F.col("child_area"))
     )
-    refined = cand.withColumn(
+    # Fast path: axis-aligned-rect pairs are decided by the bbox filter
+    # alone (exact), entirely in codegen — the Arrow kernel only sees pairs
+    # with at least one non-rectangular ring.
+    bbox_area = lambda b, a: (  # noqa: E731
+        F.abs((F.col(f"{b}.max_lat") - F.col(f"{b}.min_lat"))
+              * (F.col(f"{b}.max_lon") - F.col(f"{b}.min_lon"))
+              - F.col(a)) <= F.lit(1e-9) * F.greatest(F.col(a), F.lit(1.0)))
+    p_rect = (is_axis_rect_col(F.col("parent_lats"), F.col("parent_lons"),
+                               F.col("parent_bbox"))
+              & bbox_area("parent_bbox", "parent_area"))
+    c_rect = (is_axis_rect_col(F.col("child_lats"), F.col("child_lons"),
+                               F.col("child_bbox"))
+              & bbox_area("child_bbox", "child_area"))
+    cand = cand.withColumn("both_rect", p_rect & c_rect)
+    rect_pairs = cand.filter("both_rect")
+    poly_pairs = cand.filter(~F.col("both_rect")).withColumn(
         "is_contained",
         _contains_udf("parent_lats", "parent_lons", "child_lats", "child_lons"),
     ).filter("is_contained")
-    return refined.select(
-        "parent_key", "parent_osm_id", "child_key", "child_osm_id"
-    )
+    cols = ["parent_key", "parent_osm_id", "child_key", "child_osm_id"]
+    return rect_pairs.select(*cols).unionByName(poly_pairs.select(*cols))
 
 
 def transitive_reduction(pairs: DataFrame) -> DataFrame:

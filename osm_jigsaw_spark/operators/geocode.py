@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import cells as C
-from ..functions.geometry import points_in_ring
+from ..functions.geometry import pip_col, points_in_ring
 from .containment import ROOT_ID, area_cell_index
 
 
@@ -61,8 +61,10 @@ def areas_containing_points(areas: DataFrame, points: DataFrame) -> DataFrame:
         & (F.col("lon") >= F.col("bbox.min_lon"))
         & (F.col("lon") <= F.col("bbox.max_lon"))
     )
+    # columnar crossing-number PIP — whole-stage codegen, no Arrow hop
     hit = cand.withColumn(
-        "inside", _pip_udf("lat", "lon", "lats", "lons")
+        "inside",
+        pip_col(F.col("lat"), F.col("lon"), F.col("lats"), F.col("lons")),
     ).filter("inside")
     return hit.select(
         "point_id", "lat", "lon", "area_key", "canonical_osm_id", "area"
@@ -77,24 +79,7 @@ def geocode_paths(edges: DataFrame, containing: DataFrame,
     path_keys array<string>). Points inside no area produce no rows
     (reference returns an empty path list).
     """
-    member = containing.select("point_id", "area_key").distinct()
-    # edges usable for a point: child contained AND (parent is root or contained)
-    pe = (
-        edges.join(member.withColumnRenamed("area_key", "child_key"),
-                   ["child_key"])
-        .join(
-            member.select(F.col("point_id").alias("pid"),
-                          F.col("area_key").alias("parent_key")),
-            ["parent_key", ], "left",
-        )
-        .filter(
-            (F.col("parent_key") == ROOT_ID)
-            | (F.col("pid") == F.col("point_id"))
-        )
-        .select("point_id", "parent_key", "child_key", "child_osm_id")
-        .distinct()
-    )
-    pe = pe.localCheckpoint(eager=True)
+    pe = point_edges(edges, containing).localCheckpoint(eager=True)
     # renamed copies avoid self-join ambiguity in the iterative loop
     pe_b = pe.select(
         F.col("point_id").alias("b_point_id"),
@@ -144,7 +129,73 @@ def geocode_paths(edges: DataFrame, containing: DataFrame,
     return results
 
 
-def geocode(areas: DataFrame, edges: DataFrame, points: DataFrame) -> DataFrame:
-    """points(point_id, lat, lon) → (point_id, path) rows."""
+def point_edges(edges: DataFrame, containing: DataFrame) -> DataFrame:
+    """Edges usable for each point: child contained AND (parent root or
+    contained). One shuffle on child_key + one on (point_id, parent_key)."""
+    member = containing.select("point_id", "area_key").distinct()
+    mp = member.select(
+        "point_id", F.col("area_key").alias("parent_key")
+    ).withColumn("has_parent", F.lit(True))
+    return (
+        edges.join(member.withColumnRenamed("area_key", "child_key"),
+                   ["child_key"])
+        # composite-key join — never fans out across points sharing a parent
+        .join(mp, ["point_id", "parent_key"], "left")
+        .filter((F.col("parent_key") == ROOT_ID) | F.col("has_parent"))
+        .select("point_id", "parent_key", "child_key", "child_osm_id")
+    )
+
+
+_PATHS_SCHEMA = ("point_id string, path array<string>, "
+                 "path_keys array<string>")
+
+
+def _enumerate_paths(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-point root-to-leaf path enumeration (tiny graph per point)."""
+    point_id = pdf["point_id"].iloc[0]
+    children: dict[str, list[tuple[str, str]]] = {}
+    for p, c, osm in zip(pdf["parent_key"], pdf["child_key"],
+                         pdf["child_osm_id"]):
+        children.setdefault(p, []).append((c, osm))
+    for v in children.values():
+        v.sort()
+    out_paths, out_keys = [], []
+    stack = [(c, [osm], [c]) for c, osm in children.get(ROOT_ID, [])]
+    while stack:
+        node, path, keys = stack.pop()
+        kids = children.get(node)
+        if not kids:
+            out_paths.append(path)
+            out_keys.append(keys)
+            continue
+        for c, osm in kids:
+            stack.append((c, path + [osm], keys + [c]))
+    return pd.DataFrame({
+        "point_id": [point_id] * len(out_paths),
+        "path": out_paths,
+        "path_keys": out_keys,
+    })
+
+
+def geocode_paths_grouped(edges: DataFrame, containing: DataFrame) -> DataFrame:
+    """Path enumeration as ONE grouped Arrow UDF over per-point edge sets —
+    replaces max_depth sequential join rounds with 2 joins + 1 shuffle.
+    The per-point induced graph is tiny (the point's enclosing chain), so
+    driver-free Python enumeration inside the group is cheap; parallelism
+    is across points."""
+    pe = point_edges(edges, containing)
+    return pe.groupBy("point_id").applyInPandas(
+        _enumerate_paths, schema=_PATHS_SCHEMA)
+
+
+def geocode(areas: DataFrame, edges: DataFrame, points: DataFrame,
+            grouped: bool = True) -> DataFrame:
+    """points(point_id, lat, lon) → (point_id, path) rows.
+
+    grouped=True (default): single-pass grouped enumeration (fast path).
+    grouped=False: the level-iterated join formulation (kept for parity
+    testing; same output)."""
     containing = areas_containing_points(areas, points)
+    if grouped:
+        return geocode_paths_grouped(edges, containing)
     return geocode_paths(edges, containing)
