@@ -39,6 +39,8 @@ from osm_jigsaw_spark.operators.containment import graph_edges
 from osm_jigsaw_spark.operators.geocode import geocode
 from osm_jigsaw_spark.operators.knn import knn_areas
 from osm_jigsaw_spark.operators.naming import name_points
+from osm_jigsaw_spark.operators.paths import enumerate_all_paths
+from osm_jigsaw_spark.operators.containment import topo_order
 from osm_jigsaw_spark.operators.relations import expansion_status, outer_way_ids
 from osm_jigsaw_spark.operators.rings import stitch_rings
 from osm_jigsaw_spark.operators.tiling import tile_assignments
@@ -178,6 +180,36 @@ def q_ring_counts(spark, sf_dir):
             "rel_osm_id"),
         "n_rings", "ring_sizes",
     )
+
+
+def q_all_paths(spark, sf_dir):
+    fx = _fx(spark)
+    paths = enumerate_all_paths(fx["pipe"].graph_edges)
+    return paths.select(
+        "leaf_osm_id", F.concat_ws("/", "path").alias("path"))
+
+
+def q_topo_depths(spark, sf_dir):
+    fx = _fx(spark)
+    t = topo_order(fx["pipe"].areas, fx["pipe"].graph_edges)
+    return t.groupBy("canonical_osm_id", "depth").agg(
+        F.count("*").alias("n"))
+
+
+def q_tile_graph(spark, sf_dir):
+    from osm_jigsaw_spark.operators.tiling import tile_assignments, tile_graph
+    fx = _fx(spark)
+    assign = tile_assignments(spark, fx["pipe"].areas, res=1)
+    tg = tile_graph(fx["pipe"].graph_edges, assign)
+    # osm-id keyed multiset (area ids are disposable, reference README.md:127)
+    e = tg.join(
+        fx["pipe"].areas.select(F.col("ring_hash").alias("parent_key"),
+                                F.col("canonical_osm_id").alias("parent_osm_id")),
+        "parent_key", "left")
+    e = e.withColumn("parent_osm_id",
+                     F.coalesce("parent_osm_id", F.lit("-1")))
+    return e.groupBy("tile_id", "parent_osm_id", "child_osm_id").agg(
+        F.count("*").alias("n"))
 
 
 def q_span_roundtrip(spark, sf_dir):
@@ -404,6 +436,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "naming": q_naming,
         "expansion_status": q_expansion_status,
         "ring_counts": q_ring_counts,
+        "all_paths": q_all_paths,
+        "topo_depths": q_topo_depths,
+        "tile_graph": q_tile_graph,
         "span_roundtrip": q_span_roundtrip,
         # relational operators (testdata)
         "agg_pricing": q_agg_pricing,
@@ -444,6 +479,9 @@ def oracle_sql() -> dict[str, str]:
         "naming": O.sql_naming(),
         "expansion_status": O.sql_expansion_status(),
         "ring_counts": O.sql_ring_counts(),
+        "all_paths": O.sql_all_paths(),
+        "topo_depths": O.sql_topo_depths(),
+        "tile_graph": O.sql_tile_graph(),
         "span_roundtrip": O.sql_span_roundtrip(),
         "agg_pricing": O.SQL_AGG_PRICING,
         "revenue_by_nation": O.SQL_REVENUE_BY_NATION,

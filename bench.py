@@ -27,13 +27,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import numpy as np  # noqa: E402
-
 import __spark_entry__ as E  # noqa: E402
-from osm_jigsaw_spark.fixtures.osm_world import (  # noqa: E402
-    build_scaled_world,
-    documents_df,
-)
+from osm_jigsaw_spark.fixtures.scaled_docs import scaled_documents_df  # noqa: E402
 from osm_jigsaw_spark.operators.containment import (  # noqa: E402
     contains_pairs,
     graph_edges,
@@ -56,9 +51,8 @@ def main():
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
 
-    # --- scaled spatial world --------------------------------------------
-    world = build_scaled_world(n_areas=n_areas, seed=42)
-    docs = documents_df(spark, world).localCheckpoint(eager=True)
+    # --- scaled spatial world (generated IN Spark — no driver bottleneck)
+    docs = scaled_documents_df(spark, n_areas).localCheckpoint(eager=True)
 
     t0 = time.time()
     pipe = run_pipeline(docs, cache=False)
@@ -76,12 +70,15 @@ def main():
     extra["n_areas"] = n_area_rows
     extra["n_edges"] = n_edges
 
-    rng = np.random.default_rng(7)
-    pts = spark.createDataFrame(
-        [(f"p{i}", float(lat), float(lon)) for i, (lat, lon) in enumerate(
-            zip(rng.uniform(-60, 60, n_points),
-                rng.uniform(-120, 120, n_points)))],
-        "point_id string, lat double, lon double",
+    # deterministic columnar point generation: identical input at every
+    # parallelism level (no RNG, no partitioning dependence)
+    from pyspark.sql import functions as F
+    pts = spark.range(n_points).select(
+        F.concat(F.lit("p"), F.col("id")).alias("point_id"),
+        (F.lit(-60.0) + (F.col("id") * 2654435761 % 4294967296)
+         / 4294967296.0 * 120.0).alias("lat"),
+        (F.lit(-120.0) + (F.col("id") * 40503 % 65536)
+         / 65536.0 * 240.0).alias("lon"),
     ).localCheckpoint(eager=True)
     t0 = time.time()
     n_paths = geocode(areas, edges, pts).count()

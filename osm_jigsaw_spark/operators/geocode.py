@@ -150,42 +150,68 @@ _PATHS_SCHEMA = ("point_id string, path array<string>, "
                  "path_keys array<string>")
 
 
-def _enumerate_paths(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-point root-to-leaf path enumeration (tiny graph per point)."""
-    point_id = pdf["point_id"].iloc[0]
+def _enumerate_point(point_id, parents, childs, osms, out):
+    """Root-to-leaf enumeration for one point's tiny edge set."""
     children: dict[str, list[tuple[str, str]]] = {}
-    for p, c, osm in zip(pdf["parent_key"], pdf["child_key"],
-                         pdf["child_osm_id"]):
+    for p, c, osm in zip(parents, childs, osms):
         children.setdefault(p, []).append((c, osm))
     for v in children.values():
         v.sort()
-    out_paths, out_keys = [], []
     stack = [(c, [osm], [c]) for c, osm in children.get(ROOT_ID, [])]
     while stack:
         node, path, keys = stack.pop()
         kids = children.get(node)
         if not kids:
-            out_paths.append(path)
-            out_keys.append(keys)
+            out.append((point_id, path, keys))
             continue
         for c, osm in kids:
             stack.append((c, path + [osm], keys + [c]))
-    return pd.DataFrame({
-        "point_id": [point_id] * len(out_paths),
-        "path": out_paths,
-        "path_keys": out_keys,
-    })
+
+
+def _enumerate_batches(batches):
+    """mapInPandas worker: rows arrive sorted by point_id within the
+    partition; a point's rows may straddle Arrow batch boundaries, so the
+    trailing group is buffered and prepended to the next batch."""
+    carry = None
+    for pdf in batches:
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        if len(pdf) == 0:
+            continue
+        last_pid = pdf["point_id"].iloc[-1]
+        mask = pdf["point_id"] == last_pid
+        carry = pdf[mask]
+        pdf = pdf[~mask]
+        out: list = []
+        for pid, grp in pdf.groupby("point_id", sort=False):
+            _enumerate_point(pid, grp["parent_key"].to_numpy(),
+                             grp["child_key"].to_numpy(),
+                             grp["child_osm_id"].to_numpy(), out)
+        if out:
+            yield pd.DataFrame(out, columns=["point_id", "path", "path_keys"])
+    if carry is not None and len(carry):
+        out = []
+        for pid, grp in carry.groupby("point_id", sort=False):
+            _enumerate_point(pid, grp["parent_key"].to_numpy(),
+                             grp["child_key"].to_numpy(),
+                             grp["child_osm_id"].to_numpy(), out)
+        if out:
+            yield pd.DataFrame(out, columns=["point_id", "path", "path_keys"])
 
 
 def geocode_paths_grouped(edges: DataFrame, containing: DataFrame) -> DataFrame:
-    """Path enumeration as ONE grouped Arrow UDF over per-point edge sets —
-    replaces max_depth sequential join rounds with 2 joins + 1 shuffle.
-    The per-point induced graph is tiny (the point's enclosing chain), so
-    driver-free Python enumeration inside the group is cheap; parallelism
-    is across points."""
+    """Path enumeration in ONE Arrow pass: repartition+sort by point_id,
+    then mapInPandas — each Arrow batch carries thousands of per-point
+    groups (applyInPandas would pay per-group batch overhead: with millions
+    of points the overhead IS the job). The per-point induced graph is tiny,
+    so in-batch Python enumeration is cheap; parallelism is across points."""
     pe = point_edges(edges, containing)
-    return pe.groupBy("point_id").applyInPandas(
-        _enumerate_paths, schema=_PATHS_SCHEMA)
+    return (
+        pe.repartition("point_id")
+        .sortWithinPartitions("point_id")
+        .mapInPandas(_enumerate_batches, schema=_PATHS_SCHEMA)
+    )
 
 
 def geocode(areas: DataFrame, edges: DataFrame, points: DataFrame,
@@ -195,7 +221,11 @@ def geocode(areas: DataFrame, edges: DataFrame, points: DataFrame,
     grouped=True (default): single-pass grouped enumeration (fast path).
     grouped=False: the level-iterated join formulation (kept for parity
     testing; same output)."""
-    containing = areas_containing_points(areas, points)
+    # materialize once: `containing` feeds three join branches (child
+    # membership, parent membership, path grouping) — without this the
+    # candidate join + PIP would re-run per consumer
+    containing = areas_containing_points(areas, points) \
+        .localCheckpoint(eager=True)
     if grouped:
         return geocode_paths_grouped(edges, containing)
     return geocode_paths(edges, containing)

@@ -571,3 +571,67 @@ SELECT doc_id, 'image' AS media_type,
        unnest(generate_series(0, (length(text) % 5 + 1) - 1, 2)) AS frame_index
 FROM documents
 """
+
+
+def sql_all_paths() -> str:
+    """G8 analog: every root-to-leaf trace, path as '/'-joined osm ids."""
+    return f"""
+WITH RECURSIVE {areas_cte()}, {EDGES_CTES},
+walk(node, path) AS (
+  SELECT cb, c_osm FROM fedges WHERE pa = -1
+  UNION ALL
+  SELECT e.cb, w.path || '/' || e.c_osm
+  FROM walk w JOIN fedges e ON e.pa = w.node
+)
+SELECT string_split(path, '/')[-1] AS leaf_osm_id, path
+FROM walk w
+WHERE NOT EXISTS (SELECT 1 FROM fedges e WHERE e.pa = w.node)
+"""
+
+
+def sql_topo_depths() -> str:
+    """G3 analog: per-osm-id max root-distance multiset."""
+    return f"""
+WITH RECURSIVE {areas_cte()}, {EDGES_CTES},
+walk(node, depth) AS (
+  SELECT cb, 1 FROM fedges WHERE pa = -1
+  UNION ALL
+  SELECT e.cb, w.depth + 1 FROM walk w JOIN fedges e ON e.pa = w.node
+),
+maxd AS (SELECT node, max(depth) AS depth FROM walk GROUP BY node)
+SELECT a.osm_id AS canonical_osm_id, m.depth, count(*) AS n
+FROM maxd m JOIN fareas a ON a.rid = m.node
+GROUP BY 1, 2
+"""
+
+
+def sql_tile_graph() -> str:
+    """G7 analog: per-tile edges with re-rooting, res-1 grid."""
+    return f"""
+WITH {areas_cte()}, {GRID1_CTES}, {EDGES_CTES},
+assign AS (
+  SELECT t.tile_id, a.rid, a.osm_id
+  FROM ftiles t JOIN fareas a
+    ON a.min_lat < t.t_max_lat AND t.t_min_lat < a.max_lat
+   AND a.min_lon < t.t_max_lon AND t.t_min_lon < a.max_lon
+),
+inner_e AS (
+  SELECT ac.tile_id, e.p_osm AS parent_osm_id, e.c_osm AS child_osm_id,
+         e.cb
+  FROM fedges e
+  JOIN assign ac ON ac.rid = e.cb
+  JOIN assign ap ON ap.rid = e.pa AND ap.tile_id = ac.tile_id
+  WHERE e.pa <> -1
+),
+rerooted AS (
+  SELECT a.tile_id, '-1' AS parent_osm_id, a.osm_id AS child_osm_id
+  FROM assign a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM inner_e i WHERE i.tile_id = a.tile_id AND i.cb = a.rid)
+)
+SELECT tile_id, parent_osm_id, child_osm_id, count(*) AS n FROM (
+  SELECT tile_id, parent_osm_id, child_osm_id FROM inner_e
+  UNION ALL
+  SELECT tile_id, parent_osm_id, child_osm_id FROM rerooted
+) GROUP BY 1, 2, 3
+"""
