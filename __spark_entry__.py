@@ -70,7 +70,14 @@ def _fx(spark: SparkSession) -> dict:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read a testdata table, spread across the session's parallelism.
+
+    The sf0.01/sf0.1 tables are single small parquet files → one input
+    split → narrow per-row work would run on one core. A real 100 TB table
+    has thousands of splits; the round-robin repartition stands in for
+    that (and is a no-op cost at these sizes)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 # ---------------------------------------------------------------------------

@@ -14,6 +14,12 @@ Headline queries:
                      training-data + relational operators on the driver's
                      testdata at $SPARK_GRAFT_SF_DIR
 
+The sandbox host is time-shared (firecracker, visible steal-time spikes), so
+wall-clock for a single run is noisy up to several-fold. SPARK_GRAFT_BENCH_REPS
+(default 1) repeats each timed query in-JVM and reports the MINIMUM — the
+standard noise-floor estimator; the Spark cache is cleared between reps so
+every rep recomputes the full plan.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
 """
@@ -28,7 +34,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as E  # noqa: E402
-from osm_jigsaw_spark.fixtures.scaled_docs import scaled_documents_df  # noqa: E402
+from osm_jigsaw_spark.fixtures.scaled_docs import (  # noqa: E402
+    scaled_documents_df,
+    scaled_embeddings,
+    scaled_text_docs,
+)
 from osm_jigsaw_spark.operators.containment import (  # noqa: E402
     contains_pairs,
     graph_edges,
@@ -44,31 +54,53 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_areas = int(os.environ.get("SPARK_GRAFT_BENCH_AREAS", "20000"))
     n_points = int(os.environ.get("SPARK_GRAFT_BENCH_POINTS", "20000"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1
 
     spark = get_spark(app_name="osm-jigsaw-bench", cores=cpus,
                       shuffle_partitions=cpus)
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
+    state: dict[str, object] = {}
+
+    def timed(name: str, fn) -> None:
+        best = None
+        best_extra: dict[str, float] = {}
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            out = fn() or {}
+            dt = time.time() - t0
+            if best is None or dt < best:
+                best, best_extra = dt, out
+        timings[name] = round(best, 3)
+        extra.update(best_extra)
 
     # --- scaled spatial world (generated IN Spark — no driver bottleneck)
     docs = scaled_documents_df(spark, n_areas).localCheckpoint(eager=True)
 
-    t0 = time.time()
-    pipe = run_pipeline(docs, cache=False)
-    areas = pipe.areas.localCheckpoint(eager=True)
-    n_area_rows = areas.count()
-    timings["pipeline_areas"] = round(time.time() - t0, 3)
+    def f_pipeline():
+        pipe = run_pipeline(docs, cache=False)
+        state["areas"] = pipe.areas.localCheckpoint(eager=True)
+        n = state["areas"].count()
+        return {"n_areas": n}
 
-    t0 = time.time()
-    pairs = contains_pairs(areas).localCheckpoint(eager=True)
-    edges = graph_edges(areas, pairs).localCheckpoint(eager=True)
-    n_edges = edges.count()
-    timings["containment_graph"] = round(time.time() - t0, 3)
+    timed("pipeline_areas", f_pipeline)
+    areas = state["areas"]
+
+    def f_containment():
+        pairs = contains_pairs(areas).localCheckpoint(eager=True)
+        state["edges"] = graph_edges(areas, pairs).localCheckpoint(eager=True)
+        n = state["edges"].count()
+        return {
+            "containment_areas_per_sec": 0.0,  # filled below
+            "n_edges": n,
+        }
+
+    timed("containment_graph", f_containment)
+    edges = state["edges"]
     extra["containment_areas_per_sec"] = round(
-        n_area_rows / timings["containment_graph"], 1)
-    extra["n_areas"] = n_area_rows
-    extra["n_edges"] = n_edges
+        extra["n_areas"] / timings["containment_graph"], 1)
 
     # deterministic columnar point generation: identical input at every
     # parallelism level (no RNG, no partitioning dependence)
@@ -80,25 +112,45 @@ def main():
         (F.lit(-120.0) + (F.col("id") * 40503 % 65536)
          / 65536.0 * 240.0).alias("lon"),
     ).localCheckpoint(eager=True)
-    t0 = time.time()
-    n_paths = geocode(areas, edges, pts).count()
-    timings["geocode_batch"] = round(time.time() - t0, 3)
+
+    def f_geocode():
+        return {"n_geocode_paths": geocode(areas, edges, pts).count()}
+
+    timed("geocode_batch", f_geocode)
     extra["geocode_lookups_per_sec"] = round(
         n_points / timings["geocode_batch"], 1)
-    extra["n_geocode_paths"] = n_paths
 
-    t0 = time.time()
-    n_assign = tile_assignments(spark, areas, res=2).count()
-    timings["tile_assignments"] = round(time.time() - t0, 3)
-    extra["n_tile_assignments"] = n_assign
+    timed("tile_assignments", lambda: {
+        "n_tile_assignments": tile_assignments(spark, areas, res=2).count()})
 
     # --- training-data + relational operators on testdata ----------------
+    def run_query(fn):
+        fn(spark, sf_dir).count()
+
     for name in ("minhash_near_dups", "cosine_topk", "agg_pricing",
                  "revenue_by_nation"):
         fn = E.queries()[name]
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        timed(name, lambda fn=fn: run_query(fn))
+
+    # --- scale-variant training-data operators (inputs generated in Spark
+    # and sized with the world, so per-row work dominates fixed overhead)
+    from osm_jigsaw_spark.operators.dedup import minhash_near_duplicates
+    from osm_jigsaw_spark.operators.similarity import brute_force_topk
+
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(n_areas)))
+    big_docs = scaled_text_docs(spark, n_docs).localCheckpoint(eager=True)
+    big_emb = scaled_embeddings(spark, n_docs).localCheckpoint(eager=True)
+
+    def f_minhash_scaled():
+        return {"n_near_dup_pairs":
+                minhash_near_duplicates(big_docs, 0.5).count()}
+
+    def f_cosine_scaled():
+        return {"n_topk_rows":
+                brute_force_topk(big_emb, n_queries=128, k=5).count()}
+
+    timed("minhash_scaled", f_minhash_scaled)
+    timed("cosine_scaled", f_cosine_scaled)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -145,3 +145,47 @@ def scaled_documents_df(spark: SparkSession, n_areas: int = 20_000) -> DataFrame
         ).alias("spans"),
     )
     return way_docs.unionByName(node_docs)
+
+
+def scaled_text_docs(spark: SparkSession, n_docs: int,
+                     n_tokens: int = 40) -> DataFrame:
+    """(doc_id long, text string) — deterministic corpus for dedup benches.
+
+    Token j of doc i = md5(base_i : j)[:6] where base_i = i-1 when
+    i % 100 == 0 (else i), with token 0 perturbed — so exactly ~1% of docs
+    are near-duplicates of their predecessor (high but <1 Jaccard) and the
+    candidate-pair count grows LINEARLY with n_docs (replicating rows would
+    grow it quadratically and poison a scaling measurement). Pure column
+    expressions over spark.range; no RNG, no driver loop."""
+    is_dup = (F.col("id") % 100 == 0) & (F.col("id") > 0)
+    base = F.when(is_dup, F.col("id") - 1).otherwise(F.col("id"))
+    df = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), base.alias("base"), is_dup.alias("is_dup"))
+    token = lambda seed: F.substring(F.md5(seed), 1, 6)  # noqa: E731
+    body = F.transform(
+        F.sequence(F.lit(1), F.lit(n_tokens - 1)),
+        lambda j: token(F.concat(F.col("base").cast("string"), F.lit(":"),
+                                 j.cast("string"))),
+    )
+    head = F.when(
+        F.col("is_dup"),
+        token(F.concat(F.lit("alt:"), F.col("doc_id").cast("string"))),
+    ).otherwise(token(F.concat(F.col("base").cast("string"), F.lit(":0"))))
+    return df.select(
+        "doc_id",
+        F.concat_ws(" ", F.concat(F.array(head), body)).alias("text"),
+    )
+
+
+def scaled_embeddings(spark: SparkSession, n_vecs: int,
+                      dim: int = 64) -> DataFrame:
+    """(vec_id long, embedding array<float>) — deterministic dense vectors
+    from the 32-bit murmur hash; distributed generation, no RNG."""
+    return spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (F.pmod(F.hash(F.col("id"), j), F.lit(2000))
+                       .cast("double") / 1000.0 - 1.0).cast("float"),
+        ).alias("embedding"),
+    )

@@ -153,7 +153,12 @@ def build_areas(nodes: DataFrame, ways: DataFrame, relations: DataFrame) -> Data
     per ring sharing the relation's osm_id (reference AreaResolver emits one
     ResolvedArea per outline ring).
     """
-    outlines = way_outlines(ways).unionByName(relation_outlines(relations, ways))
+    outlines = way_outlines(ways)
+    # adaptive plan choice (AQE-style): the relation branch spawns an
+    # iterative expansion + grouped stitching sub-plan — skip it entirely
+    # for relation-free inputs rather than running ~10 empty stages
+    if not relations.isEmpty():
+        outlines = outlines.unionByName(relation_outlines(relations, ways))
     rings = resolve_outline_points(outlines, nodes)
     rings = rings.filter(F.col("n_points") >= 3)
     return dedup_areas(with_area_and_bbox(rings))

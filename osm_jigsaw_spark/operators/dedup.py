@@ -53,8 +53,14 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
 
 
 def shingles(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, shingle) — distinct k-word shingles."""
-    words = words_col(F.col("text"))
+    """(doc_id, shingle) — distinct k-word shingles.
+
+    The word array is materialized as its own projection first: referencing
+    the words_col expression inside the per-position transform lambda would
+    make Catalyst inline (and re-evaluate) the full regex split once per
+    shingle position — O(words^2) per document."""
+    w = documents.select("doc_id", words_col(F.col("text")).alias("words"))
+    words = F.col("words")
     # guard: Spark's sequence(1, 0) counts DOWN — emit empty when too short
     sh = F.when(
         F.size(words) >= k,
@@ -64,27 +70,30 @@ def shingles(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        documents.select("doc_id", F.explode(sh).alias("shingle"))
+        w.select("doc_id", F.explode(sh).alias("shingle"))
         .distinct()
     )
 
 
-def minhash_signatures(documents: DataFrame) -> DataFrame:
-    """(doc_id, sigs array<long> of length MINHASH_K)."""
-    spark = documents.sparkSession
-    params = spark.createDataFrame(minhash_params(), "j int, a long, b long")
-    sh = shingles(documents).withColumn("h", hash60(F.col("shingle")) % P)
-    mins = (
-        sh.crossJoin(F.broadcast(params))
-        .select("doc_id", "j", ((F.col("a") * F.col("h") + F.col("b")) % P).alias("v"))
-        .groupBy("doc_id", "j")
-        .agg(F.min("v").alias("sig"))
-    )
-    return mins.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("j", "sig"))),
-            lambda s: s["sig"],
-        ).alias("sigs")
+def minhash_signatures(documents: DataFrame,
+                       sh: DataFrame | None = None) -> DataFrame:
+    """(doc_id, sigs array<long> of length MINHASH_K).
+
+    All K permutation minima are computed as K min-aggregates over the
+    single shingle-hash column in ONE groupBy — no K-fold row explosion,
+    one shuffle, and map-side partial aggregation shrinks it to ~one row
+    per (doc, partition) before the exchange. a*h < P^2 < 2^62 stays in
+    int64."""
+    if sh is None:
+        sh = shingles(documents)
+    sh = sh.select("doc_id", (hash60(F.col("shingle")) % P).alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % P).alias(f"s{j}")
+        for j, a, b in minhash_params()
+    ]
+    return sh.groupBy("doc_id").agg(*aggs).select(
+        "doc_id",
+        F.array(*[F.col(f"s{j}") for j in range(MINHASH_K)]).alias("sigs"),
     )
 
 
@@ -118,10 +127,12 @@ def lsh_candidates(signatures: DataFrame) -> DataFrame:
 
 
 def jaccard_verify(documents: DataFrame, pairs: DataFrame,
-                   threshold: float = 0.5) -> DataFrame:
+                   threshold: float = 0.5,
+                   sh: DataFrame | None = None) -> DataFrame:
     """(doc_a, doc_b, jaccard) — exact shingle-set Jaccard over candidate
     pairs only."""
-    sh = shingles(documents)
+    if sh is None:
+        sh = shingles(documents)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -147,10 +158,16 @@ def jaccard_verify(documents: DataFrame, pairs: DataFrame,
 
 def minhash_near_duplicates(documents: DataFrame,
                             threshold: float = 0.5) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: sign → band → verify."""
-    sigs = minhash_signatures(documents)
+    """Full MinHash-LSH near-dup pipeline: sign → band → verify.
+
+    The shingle set feeds three consumers (signatures, intersection join,
+    set sizes); cache it once instead of re-deriving the explode+md5 per
+    DAG branch — at 100 TB this is the difference between one and five
+    passes over the corpus."""
+    sh = shingles(documents).persist()
+    sigs = minhash_signatures(documents, sh=sh)
     cands = lsh_candidates(sigs)
-    return jaccard_verify(documents, cands, threshold)
+    return jaccard_verify(documents, cands, threshold, sh=sh)
 
 
 def simhash_signatures(documents: DataFrame) -> DataFrame:
