@@ -196,6 +196,15 @@ def q_all_paths(spark, sf_dir):
         "leaf_osm_id", F.concat_ws("/", "path").alias("path"))
 
 
+PATH_WALK_CHAIN = ["100W", "105W", "101W", "102W", "103W"]  # last step invalid
+
+
+def q_path_walk(spark, sf_dir):
+    from osm_jigsaw_spark.operators.paths import walk_path
+    fx = _fx(spark)
+    return walk_path(fx["pipe"].graph_edges, PATH_WALK_CHAIN)
+
+
 def q_topo_depths(spark, sf_dir):
     fx = _fx(spark)
     t = topo_order(fx["pipe"].areas, fx["pipe"].graph_edges)
@@ -444,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expansion_status": q_expansion_status,
         "ring_counts": q_ring_counts,
         "all_paths": q_all_paths,
+        "path_walk": q_path_walk,
         "topo_depths": q_topo_depths,
         "tile_graph": q_tile_graph,
         "span_roundtrip": q_span_roundtrip,
@@ -487,6 +497,7 @@ def oracle_sql() -> dict[str, str]:
         "expansion_status": O.sql_expansion_status(),
         "ring_counts": O.sql_ring_counts(),
         "all_paths": O.sql_all_paths(),
+        "path_walk": O.sql_path_walk(PATH_WALK_CHAIN),
         "topo_depths": O.sql_topo_depths(),
         "tile_graph": O.sql_tile_graph(),
         "span_roundtrip": O.sql_span_roundtrip(),

@@ -56,10 +56,22 @@ def area_cell_index(areas: DataFrame,
     The single spatial index shared by containment, geocode, kNN and tiling
     joins — replacing the reference's per-polygon esri acceleration
     (GraphBuilder.scala:120) and geohash segment files (steps/Tiling.scala).
+
+    `is_rect` marks rings that are exactly their bbox (4-corner axis
+    rect whose shoelace area equals the bbox area — the area guard
+    rejects 2-lat/2-lon bowties): for those the bbox test IS the exact
+    geometry test and consumers skip the polygon kernel entirely.
     """
+    bbox_area = F.abs(
+        (F.col("bbox.max_lat") - F.col("bbox.min_lat"))
+        * (F.col("bbox.max_lon") - F.col("bbox.min_lon"))
+        - F.col("area")
+    ) <= F.lit(1e-9) * F.greatest(F.col("area"), F.lit(1.0))
     return areas.select(
         F.col("ring_hash").alias("area_key"),
         "canonical_osm_id", "area", "bbox", "lats", "lons",
+        (is_axis_rect_col(F.col("lats"), F.col("lons"), F.col("bbox"))
+         & bbox_area).alias("is_rect"),
         F.explode(C.covering_cells_adaptive(F.col("bbox"), max_cells)).alias("cell"),
     )
 

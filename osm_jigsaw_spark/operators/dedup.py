@@ -52,13 +52,18 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
     )
 
 
-def shingles(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, shingle) — distinct k-word shingles.
+def shingle_arrays(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, shingles array<string>) — per-doc DISTINCT k-word shingles.
 
-    The word array is materialized as its own projection first: referencing
-    the words_col expression inside the per-position transform lambda would
-    make Catalyst inline (and re-evaluate) the full regex split once per
-    shingle position — O(words^2) per document."""
+    Two scale-critical choices:
+    - the word array is materialized as its own projection first:
+      referencing the words_col expression inside the per-position
+      transform lambda would make Catalyst inline (and re-evaluate) the
+      full regex split once per shingle position — O(words^2) per doc;
+    - dedup is per-document, so it is `array_distinct` INSIDE the row —
+      a global `.distinct()` after explode would shuffle the entire
+      shingle multiset (corpus-sized exchange + hash aggregate) to
+      compute something each row already knows."""
     w = documents.select("doc_id", words_col(F.col("text")).alias("words"))
     words = F.col("words")
     # guard: Spark's sequence(1, 0) counts DOWN — emit empty when too short
@@ -69,32 +74,45 @@ def shingles(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(words, i, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        w.select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    return w.select("doc_id", F.array_distinct(sh).alias("shingles"))
+
+
+def shingles(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, shingle) — exploded per-doc-distinct k-word shingles."""
+    return shingle_arrays(documents, k).select(
+        "doc_id", F.explode("shingles").alias("shingle"))
 
 
 def minhash_signatures(documents: DataFrame,
-                       sh: DataFrame | None = None) -> DataFrame:
+                       sh_arrays: DataFrame | None = None) -> DataFrame:
     """(doc_id, sigs array<long> of length MINHASH_K).
 
-    All K permutation minima are computed as K min-aggregates over the
-    single shingle-hash column in ONE groupBy — no K-fold row explosion,
-    one shuffle, and map-side partial aggregation shrinks it to ~one row
-    per (doc, partition) before the exchange. a*h < P^2 < 2^62 stays in
-    int64."""
-    if sh is None:
-        sh = shingles(documents)
-    sh = sh.select("doc_id", (hash60(F.col("shingle")) % P).alias("h"))
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % P).alias(f"s{j}")
-        for j, a, b in minhash_params()
-    ]
-    return sh.groupBy("doc_id").agg(*aggs).select(
-        "doc_id",
-        F.array(*[F.col(f"s{j}") for j in range(MINHASH_K)]).alias("sigs"),
+    MinHash is a PER-ROW computation: each doc's K permutation minima come
+    from ONE aggregate pass over its own shingle-hash array — zero
+    shuffle, zero explode (the naive explode→groupBy formulation
+    exchanges the corpus-sized shingle multiset to compute row-local
+    minima). The accumulator is the K-vector of running minima and the
+    (a,b) permutation params are a constant-folded literal array, so the
+    md5 chain is evaluated exactly once per shingle no matter K — K
+    separate array_min(transform(hs,...)) expressions would let Catalyst's
+    CollapseProject inline (= recompute) the hash array K times.
+    a*h < P^2 < 2^62 stays in int64."""
+    if sh_arrays is None:
+        sh_arrays = shingle_arrays(documents)
+    params = F.array(*[
+        F.struct(F.lit(a).cast("long").alias("a"),
+                 F.lit(b).cast("long").alias("b"))
+        for _j, a, b in minhash_params()
+    ])
+    init = F.array(*[F.lit(P).cast("long")] * MINHASH_K)
+    hs = F.transform("shingles", lambda s: hash60(s) % P)
+    sigs = F.aggregate(
+        hs, init,
+        lambda acc, h: F.zip_with(
+            acc, params, lambda m, p: F.least(m, (p["a"] * h + p["b"]) % P)),
     )
+    return sh_arrays.filter(F.size("shingles") > 0).select(
+        "doc_id", sigs.alias("sigs"))
 
 
 def lsh_candidates(signatures: DataFrame) -> DataFrame:
@@ -128,12 +146,27 @@ def lsh_candidates(signatures: DataFrame) -> DataFrame:
 
 def jaccard_verify(documents: DataFrame, pairs: DataFrame,
                    threshold: float = 0.5,
-                   sh: DataFrame | None = None) -> DataFrame:
+                   sh_arrays: DataFrame | None = None) -> DataFrame:
     """(doc_a, doc_b, jaccard) — exact shingle-set Jaccard over candidate
-    pairs only."""
-    if sh is None:
-        sh = shingles(documents)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pairs only.
+
+    The per-doc shingle arrays are semi-joined down to docs that appear in
+    a candidate pair BEFORE exploding — candidates are rare by
+    construction (LSH banding), so every downstream shuffle is
+    candidate-sized, never corpus-sized. At 100 TB this is the difference
+    between re-shuffling the corpus and re-shuffling a few thousand
+    docs."""
+    if sh_arrays is None:
+        sh_arrays = shingle_arrays(documents)
+    docs_needed = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    pruned = sh_arrays.join(F.broadcast(docs_needed), "doc_id", "left_semi")
+    sh = pruned.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = pruned.select(
+        "doc_id", F.size("shingles").cast("long").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -160,14 +193,21 @@ def minhash_near_duplicates(documents: DataFrame,
                             threshold: float = 0.5) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: sign → band → verify.
 
-    The shingle set feeds three consumers (signatures, intersection join,
-    set sizes); cache it once instead of re-deriving the explode+md5 per
-    DAG branch — at 100 TB this is the difference between one and five
-    passes over the corpus."""
-    sh = shingles(documents).persist()
-    sigs = minhash_signatures(documents, sh=sh)
-    cands = lsh_candidates(sigs)
-    return jaccard_verify(documents, cands, threshold, sh=sh)
+    Two explicit stage materializations (Iceberg-snapshot analogs on a
+    cluster; localCheckpoint here):
+    - the per-doc shingle arrays feed both the signature pass and the
+      verification pass — materialize instead of re-deriving the
+      split+md5 chain per branch;
+    - the candidate pairs are referenced THREE times downstream (the
+      docs_needed union reads them twice, the verify probe once) — left
+      lazy, the whole band-join subtree would run three times, and a
+      merely-persisted (unmaterialized) input under the broadcast subtree
+      can wedge the broadcast exchange altogether. They are tiny by
+      construction; checkpointing them is free."""
+    arrays = shingle_arrays(documents).localCheckpoint(eager=True)
+    sigs = minhash_signatures(documents, sh_arrays=arrays)
+    cands = lsh_candidates(sigs).localCheckpoint(eager=True)
+    return jaccard_verify(documents, cands, threshold, sh_arrays=arrays)
 
 
 def simhash_signatures(documents: DataFrame) -> DataFrame:

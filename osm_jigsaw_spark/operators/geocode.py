@@ -61,10 +61,15 @@ def areas_containing_points(areas: DataFrame, points: DataFrame) -> DataFrame:
         & (F.col("lon") >= F.col("bbox.min_lon"))
         & (F.col("lon") <= F.col("bbox.max_lon"))
     )
-    # columnar crossing-number PIP — whole-stage codegen, no Arrow hop
+    # columnar crossing-number PIP — whole-stage codegen, no Arrow hop;
+    # axis-rect rings (index is_rect) are already decided by the bbox
+    # filter above, so the edge-walk only runs for true polygons
     hit = cand.withColumn(
         "inside",
-        pip_col(F.col("lat"), F.col("lon"), F.col("lats"), F.col("lons")),
+        # CaseWhen for guaranteed lazy branches (plain OR may still
+        # evaluate the interpreted HOF edge-walk)
+        F.when(F.col("is_rect"), F.lit(True)).otherwise(
+            pip_col(F.col("lat"), F.col("lon"), F.col("lats"), F.col("lons"))),
     ).filter("inside")
     return hit.select(
         "point_id", "lat", "lon", "area_key", "canonical_osm_id", "area"

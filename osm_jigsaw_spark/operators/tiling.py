@@ -86,7 +86,10 @@ def tile_graph(edges: DataFrame, assignments: DataFrame) -> DataFrame:
         F.col("canonical_osm_id").alias("child_osm_id"))
 
     inner = (
-        edges.join(a_child, "child_key")
+        # drop the edge's own child_osm_id before joining: a_child carries
+        # the same value and keeping both makes the name ambiguous
+        edges.select("parent_key", "child_key")
+        .join(a_child, "child_key")
         .join(a_parent, ["tile_id", "parent_key"], "left_semi")
         .filter(F.col("parent_key") != ROOT_ID)
         .select("tile_id", "parent_key", "child_key", "child_osm_id")

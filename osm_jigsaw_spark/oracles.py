@@ -635,3 +635,24 @@ SELECT tile_id, parent_osm_id, child_osm_id, count(*) AS n FROM (
   SELECT tile_id, parent_osm_id, child_osm_id FROM rerooted
 ) GROUP BY 1, 2, 3
 """
+
+
+def sql_path_walk(chain: list[str]) -> str:
+    """G6 analog (api nodesFor, Application.scala:79-106): validate a
+    root-first id chain edge by edge with prefix-stop semantics."""
+    rows = ", ".join(
+        f"({i}, '{a}', '{b}')"
+        for i, (a, b) in enumerate(zip(["-1"] + chain, chain)))
+    return f"""
+WITH {areas_cte()}, {EDGES_CTES},
+chain(pos, parent_osm_id, child_osm_id) AS (VALUES {rows}),
+hits AS (
+  SELECT c.pos, c.parent_osm_id, c.child_osm_id,
+         EXISTS (SELECT 1 FROM fedges e
+                 WHERE e.p_osm = c.parent_osm_id
+                   AND e.c_osm = c.child_osm_id) AS ok
+  FROM chain c)
+SELECT pos, parent_osm_id, child_osm_id, true AS ok
+FROM hits h
+WHERE NOT EXISTS (SELECT 1 FROM hits x WHERE x.pos <= h.pos AND NOT x.ok)
+"""

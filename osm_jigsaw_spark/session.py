@@ -32,6 +32,15 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(4, n)
 
+    # One BLAS thread per Python worker: N workers each spawning
+    # n_cpus OpenBLAS/OMP threads (the numpy default) oversubscribes the
+    # box N*n_cpus-fold and anti-scales every numpy UDF stage. Workers
+    # inherit the driver environment in local mode; on a cluster set the
+    # same via spark.executorEnv.*.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -45,6 +54,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

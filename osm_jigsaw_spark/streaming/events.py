@@ -23,9 +23,12 @@ def windowed_event_counts(events: DataFrame,
     batch DataFrame `withWatermark` is a no-op, so one definition serves
     both (and the DuckDB oracle checks the batch run).
     """
-    src = events
-    if events.isStreaming:
-        src = events.withWatermark("ts", watermark)
+    # watermarks require TIMESTAMP (tz-aware); parquet feeds often carry
+    # TIMESTAMP_NTZ — cast once (session tz is pinned to UTC) for both
+    # modes so batch and stream window identically
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
     return (
         src.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count("*").alias("n"),

@@ -90,3 +90,21 @@ def test_expected_area_values(pipeline, world):
         assert key in got
         assert got[key] == pytest.approx(e["area"], rel=1e-9)
     assert len(got) == len(world.expected_areas)
+
+
+def test_walk_path_prefix_semantics(spark, pipeline):
+    from osm_jigsaw_spark.operators.paths import walk_path
+    # Large -> Overlapping -> Medium -> Small is the fixture's known chain
+    # (GraphBuilderSpec.scala:64-73 analog); the appended Small -> Left step
+    # is not an edge, so the walk must stop before it.
+    got = walk_path(pipeline.graph_edges,
+                    ["100W", "105W", "101W", "102W", "103W"]).collect()
+    chains = [(r["pos"], r["parent_osm_id"], r["child_osm_id"]) for r in got]
+    assert chains == [(0, "-1", "100W"), (1, "100W", "105W"),
+                      (2, "105W", "101W"), (3, "101W", "102W")]
+    assert all(r["ok"] for r in got)
+
+
+def test_walk_path_invalid_first_step(spark, pipeline):
+    from osm_jigsaw_spark.operators.paths import walk_path
+    assert walk_path(pipeline.graph_edges, ["102W"]).count() == 0

@@ -48,9 +48,35 @@ def main():
     high = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     n_areas = int(sys.argv[3]) if len(sys.argv) > 3 else 200_000
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    rounds = int(sys.argv[5]) if len(sys.argv) > 5 else 2
     factor = high / low
-    r_low = run(low, n_areas, reps)
-    r_high = run(high, n_areas, reps)
+
+    # Alternate levels L,H,L,H…: the host's steal-time noise arrives in
+    # multi-minute bursts, so back-to-back single runs can land one level
+    # entirely inside a noisy window and flip the comparison. Per-query
+    # minima across rounds estimate each level's clean-window performance.
+    runs_low, runs_high = [], []
+    for _ in range(rounds):
+        runs_low.append(run(low, n_areas, reps))
+        runs_high.append(run(high, n_areas, reps))
+
+    def merged(rs: list[dict]) -> dict:
+        out = json.loads(json.dumps(rs[0]))
+        for r in rs[1:]:
+            for q, t in r["queries"].items():
+                if t < out["queries"][q]:
+                    out["queries"][q] = t
+        out["value"] = round(sum(out["queries"].values()), 3)
+        na = out["extra"]["n_areas"]
+        out["extra"]["containment_areas_per_sec"] = round(
+            na / out["queries"]["containment_graph"], 1)
+        npts = n_areas
+        out["extra"]["geocode_lookups_per_sec"] = round(
+            npts / out["queries"]["geocode_batch"], 1)
+        return out
+
+    r_low = merged(runs_low)
+    r_high = merged(runs_high)
 
     lines = [
         "# BENCH — scaling evidence (N vs 4N parallelism)",
@@ -59,8 +85,10 @@ def main():
         f"points / sf={r_low['sf']} testdata), fresh JVM per level:",
         f"`local[{low}]` vs `local[{high}]` — the sandbox proxy for N vs 4N",
         "executors agreed in BASELINE.md (no real cluster here). Timing is",
-        f"min of {reps} in-JVM reps per query (cache cleared between reps)",
-        "to suppress host steal-time noise.",
+        f"the per-query min over {rounds} alternating fresh-JVM rounds per",
+        f"level × {reps} in-JVM reps (cache cleared between reps) — the",
+        "host is time-shared and steal-time arrives in multi-minute bursts,",
+        "so minima estimate clean-window performance at each level.",
         "",
         f"| query | local[{low}] sec | local[{high}] sec | speedup | "
         f"efficiency (/{factor:.0f}x) |",
