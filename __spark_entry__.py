@@ -367,6 +367,17 @@ def q_ngram_jaccard(spark, sf_dir):
                                   k=5, threshold=0.3, max_doc_id=1000)
 
 
+def q_simhash_near_dups(spark, sf_dir):
+    return DD.simhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), max_hamming=16
+    ).select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    return SIM.embedding_near_duplicates(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
 def q_cosine_topk(spark, sf_dir):
     return SIM.brute_force_topk(_t(spark, sf_dir, "embeddings"),
                                 n_queries=20, k=5)
@@ -470,6 +481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup": q_exact_dup,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_near_dups": q_embedding_near_dups,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -512,6 +525,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup": O.SQL_EXACT_DUP,
         "minhash_near_dups": O.sql_minhash_near_dups(0.5),
         "simhash": O.sql_simhash(),
+        "simhash_near_dups": O.sql_simhash_near_dups(16),
+        "embedding_near_dups": O.sql_embedding_near_dups(0.45),
         "ngram_jaccard": O.sql_ngram_jaccard(5, 0.3, 1000),
         "cosine_topk": O.sql_cosine_topk(20, 5),
         "lang_id": O.SQL_LANG_ID,

@@ -175,3 +175,43 @@ def lsh_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5,
     partial = embeddings.select("vec_id", "embedding").mapInPandas(
         kernel, _OUT_SCHEMA)
     return _rank_merge(partial, k)
+
+
+def embedding_near_duplicates(embeddings: DataFrame,
+                              threshold: float = 0.45) -> DataFrame:
+    """(vec_a, vec_b, cos_sim) — exact all-pairs cosine near-duplicates
+    (vec_a < vec_b, cos_sim ≥ threshold).
+
+    Block formulation: the normalized corpus is broadcast once and each
+    Arrow batch emits its block of the similarity matrix above the
+    threshold — one matmul per batch, rows only for qualifying pairs. This
+    is the exact verifier; at 100 TB the broadcast becomes the LSH bucket
+    join (see lsh_topk) as a prefilter and this kernel verifies within
+    buckets."""
+    spark = embeddings.sparkSession
+    rows = embeddings.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, Vn))
+
+    def kernel(batches):
+        c_ids, c_Vn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = np.array(list(pdf["embedding"]), dtype=np.float64)
+            Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+            b_ids = pdf["vec_id"].to_numpy(np.int64)
+            sims = np.round(Bn @ c_Vn.T, 6)
+            keep = (sims >= threshold) & (b_ids[:, None] < c_ids[None, :])
+            bi, ci = np.nonzero(keep)
+            if bi.size:
+                yield pd.DataFrame({
+                    "vec_a": b_ids[bi], "vec_b": c_ids[ci],
+                    "cos_sim": sims[bi, ci],
+                })
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        kernel, "vec_a long, vec_b long, cos_sim double")

@@ -111,3 +111,42 @@ def tile_graph(edges: DataFrame, assignments: DataFrame) -> DataFrame:
 def tile_counts(spark: SparkSession, res: int) -> int:
     """Grid-size parity helper (32/1,024/32,768 at res 1/2/3)."""
     return C.geohash_tiles(spark, res).count()
+
+
+def write_tiled_segments(root: str, areas: DataFrame, edges: DataFrame,
+                         tags: DataFrame, assignments: DataFrame) -> dict:
+    """Partitioned per-tile output — the reference's per-geohash
+    graphv2-<gh>.pbf / areas-<gh>.pbf / tags-<gh>.pbf segment files
+    (steps/Tiling.scala:100-133, loaded per-tile by the API's
+    GraphService.scala:93-110) as three `partitionBy(tile_id)` parquet
+    tables. Cross-tile duplication is expected output, not overhead
+    (parser README.md:137-162). A tile-pruned read
+    (`WHERE tile_id = ...`) is the engine's analog of the API's
+    per-geohash segment fetch.
+
+    Returns row counts per table."""
+    tile_areas = assignments.select("tile_id", "area_key").join(
+        areas.withColumnRenamed("ring_hash", "area_key"), "area_key")
+    tile_areas.write.mode("overwrite").partitionBy("tile_id").parquet(
+        f"{root}/areas")
+
+    tg = tile_graph(edges, assignments)
+    tg.write.mode("overwrite").partitionBy("tile_id").parquet(
+        f"{root}/graph")
+
+    # distinct BEFORE the tags join: map columns can't be compared
+    tile_tags = (
+        tile_areas.select("tile_id", F.explode("osm_ids").alias("osm_id"))
+        .distinct()
+        .join(tags, "osm_id")
+        .select("tile_id", "osm_id", "tags")
+    )
+    tile_tags.write.mode("overwrite").partitionBy("tile_id").parquet(
+        f"{root}/tags")
+
+    spark = areas.sparkSession
+    return {
+        "areas": spark.read.parquet(f"{root}/areas").count(),
+        "graph": spark.read.parquet(f"{root}/graph").count(),
+        "tags": spark.read.parquet(f"{root}/tags").count(),
+    }

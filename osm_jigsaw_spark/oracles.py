@@ -656,3 +656,45 @@ SELECT pos, parent_osm_id, child_osm_id, true AS ok
 FROM hits h
 WHERE NOT EXISTS (SELECT 1 FROM hits x WHERE x.pos <= h.pos AND NOT x.ok)
 """
+
+
+def sql_embedding_near_dups(threshold: float = 0.45) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}
+"""
+
+
+def sql_simhash_near_dups(max_hamming: int = 16) -> str:
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    return f"""
+WITH toks AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest({_WORDS}) AS w FROM documents)),
+sums AS (
+  SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS total
+  FROM toks, generate_series(0, {SIMHASH_BITS - 1}) t(i)
+  GROUP BY doc_id, i),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN total > 0 THEN 1::BIGINT << i ELSE 0 END) AS simhash
+  FROM sums GROUP BY doc_id),
+chunks AS (
+  SELECT doc_id, simhash, c,
+         (simhash >> (c * {chunk_bits})) & {(1 << chunk_bits) - 1} AS v
+  FROM sig, generate_series(0, {SIMHASH_CHUNKS - 1}) t(c)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM chunks a JOIN chunks b ON a.c = b.c AND a.v = b.v
+   AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""

@@ -66,3 +66,37 @@ def test_knn(pipeline, qpoints):
     rows = [r for r in res.collect() if r["point_id"] == "p_richmond"]
     assert rows and rows[0]["canonical_osm_id"] == "200R"
     assert rows[0]["distance"] == 0.0
+
+
+def test_write_tiled_segments(spark, pipeline, tmp_path):
+    """G7 per-tile partitioned output: the reference's per-geohash
+    graph/areas/tags segment files (steps/Tiling.scala:100-133) as
+    partitionBy(tile_id) tables; a tile-pruned read is the API's
+    per-geohash segment fetch (GraphService.scala:93-110)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from osm_jigsaw_spark.operators.tiling import (
+        tile_assignments,
+        write_tiled_segments,
+    )
+
+    assign = tile_assignments(spark, pipeline.areas, res=1)
+    counts = write_tiled_segments(
+        str(tmp_path / "tiles"), pipeline.areas, pipeline.graph_edges,
+        pipeline.tags, assign)
+    assert counts["areas"] == assign.count()  # one row per assignment
+    assert counts["graph"] > 0 and counts["tags"] > 0
+
+    # physical layout is hive-partitioned by tile_id
+    parts = [d for d in os.listdir(tmp_path / "tiles" / "areas")
+             if d.startswith("tile_id=")]
+    assert len(parts) == assign.select("tile_id").distinct().count()
+
+    # partition-pruned read returns exactly that tile's areas
+    some_tile = parts[0].split("=", 1)[1]
+    pruned = spark.read.parquet(str(tmp_path / "tiles" / "areas")).filter(
+        F.col("tile_id") == some_tile)
+    expect = assign.filter(F.col("tile_id") == some_tile).count()
+    assert pruned.count() == expect
