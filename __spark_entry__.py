@@ -529,11 +529,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": O.sql_embedding_near_dups(0.45),
         "ngram_jaccard": O.sql_ngram_jaccard(5, 0.3, 1000),
         "cosine_topk": O.sql_cosine_topk(20, 5),
+        "ann_lsh_topk": O.sql_ann_lsh_topk(20, 5),
         "lang_id": O.SQL_LANG_ID,
         "quality": O.SQL_QUALITY,
         "token_counts": O.SQL_TOKEN_COUNTS,
         "fingerprints": O.SQL_FINGERPRINTS,
         "media_features": O.SQL_MEDIA_FEATURES,
         "frame_sample": O.SQL_FRAME_SAMPLE,
-        # "ann_lsh_topk": intentionally omitted → rows-only check
     }

@@ -125,7 +125,7 @@ SELECT substr(doc_id, length(doc_id), 1) AS osm_type,
              AND (split_part(s['text'], '=', 1) = 'name'
                   OR s['text'] LIKE 'name:%'
                   OR split_part(s['text'], '=', 1) = 'addr:housename')))
-             > 0 THEN 1 ELSE 0 END) AS n_named
+             > 0 THEN 1 ELSE 0 END)::BIGINT AS n_named
 FROM fixdocs GROUP BY 1
 """
 
@@ -476,7 +476,8 @@ sums AS (
   FROM toks, generate_series(0, {SIMHASH_BITS - 1}) t(i)
   GROUP BY doc_id, i)
 SELECT doc_id,
-       sum(CASE WHEN total > 0 THEN 1::BIGINT << i ELSE 0 END) AS simhash
+       sum(CASE WHEN total > 0 THEN 1::BIGINT << i ELSE 0 END)::BIGINT
+         AS simhash
 FROM sums GROUP BY doc_id
 """
 
@@ -512,6 +513,46 @@ sims AS (
                                           e.embedding::DOUBLE[]))), 6)
            AS cos_sim
   FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM sims) WHERE rank <= {k}
+"""
+
+
+def sql_ann_lsh_topk(n_queries: int = 20, k: int = 5, planes: int = 8,
+                     dim: int = 64) -> str:
+    """Derivational twin of operators/similarity.lsh_topk: hyperplane
+    component = int(md5("p:<p>:<d>")[:15 hex], 16) / 2^59 - 1 (portable,
+    similarity.py _plane_matrix), sign-signature bucket equality, exact
+    cosine within the bucket."""
+    return f"""
+WITH pl AS (
+  SELECT p.p,
+         list(('0x' || substr(md5('p:' || p.p || ':' || d.d), 1, 15))::BIGINT
+              / 576460752303423488.0 - 1.0 ORDER BY d.d) AS pv
+  FROM generate_series(0, {planes - 1}) p(p),
+       generate_series(0, {dim - 1}) d(d)
+  GROUP BY p.p),
+sigs AS (
+  SELECT e.vec_id,
+         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.pv) >= 0
+                  THEN 1::BIGINT << pl.p ELSE 0 END)::BIGINT AS sig
+  FROM embeddings e CROSS JOIN pl GROUP BY e.vec_id),
+q AS (
+  SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qv, s.sig
+  FROM embeddings e JOIN sigs s USING (vec_id)
+  WHERE e.vec_id < {n_queries}),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(q.qv, e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))), 6)
+           AS cos_sim
+  FROM embeddings e
+  JOIN sigs s ON s.vec_id = e.vec_id
+  JOIN q ON q.sig = s.sig AND e.vec_id <> q.query_id)
 SELECT query_id, vec_id, cos_sim, rank FROM (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
