@@ -4,7 +4,7 @@ Training-data-pipeline extensions (no reference analog — the reference's
 only dedup is the geometric area dedup, steps/RenderAndDeduplicateAreas.scala).
 All four are shuffle-conscious:
 
-- exact: one groupBy on the full text (map-side partial agg applies);
+- exact: one groupBy on md5(text) (map-side partial agg; 32-byte keys);
 - MinHash+LSH: shingle explode → K portable min-hashes via a broadcast
   parameter table → banding → candidates only where a band collides →
   exact-Jaccard verification join. Never an all-pairs product.
@@ -42,9 +42,15 @@ def minhash_params() -> list[tuple[int, int, int]]:
 
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
-    """(canonical_doc_id, n_dups) groups of byte-identical texts (>1)."""
+    """(canonical_doc_id, n_dups) groups of byte-identical texts (>1).
+
+    Groups on md5(text), not text: the shuffle key is 32 bytes instead of
+    the full document body, so the exchange carries (hash, doc_id) rows —
+    at 100 TB that is the difference between shuffling the corpus and
+    shuffling its fingerprints. md5 collisions are vanishingly unlikely
+    and would only merge two groups, same contract as any hash dedup."""
     return (
-        documents.groupBy("text")
+        documents.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
         .agg(F.min("doc_id").alias("canonical_doc_id"),
              F.count("*").alias("n_dups"))
         .filter(F.col("n_dups") > 1)
@@ -115,10 +121,13 @@ def minhash_signatures(documents: DataFrame,
         "doc_id", sigs.alias("sigs"))
 
 
-def lsh_candidates(signatures: DataFrame) -> DataFrame:
-    """(doc_a, doc_b) pairs sharing ≥1 LSH band."""
+LSH_MAX_BUCKET = 1024  # per-(band,key) candidate cap — no O(n²) blowup
+
+
+def _minhash_bands(signatures: DataFrame) -> DataFrame:
+    """(doc_id, band, key) — the banded signature rows."""
     rows_per_band = MINHASH_K // MINHASH_BANDS
-    bands = signatures.select(
+    return signatures.select(
         "doc_id",
         F.explode(
             F.array(*[
@@ -134,14 +143,40 @@ def lsh_candidates(signatures: DataFrame) -> DataFrame:
             ])
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
-    other = bands.select(
+
+
+def lsh_candidates(signatures: DataFrame,
+                   max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
+    """(doc_a, doc_b) pairs sharing ≥1 LSH band.
+
+    Buckets larger than max_bucket are excluded before the self-join: a
+    boilerplate-heavy corpus can put millions of docs on one band key, and
+    AQE skew-join only rebalances the shuffle — it cannot prevent the
+    O(n²) pair explosion itself. lsh_oversized_buckets() reports what was
+    skipped (no silent truncation)."""
+    bands = _minhash_bands(signatures)
+    small = (bands.groupBy("band", "key")
+             .agg(F.count("*").alias("bucket_n"))
+             .filter(F.col("bucket_n") <= max_bucket)
+             .select("band", "key"))
+    bands_ok = bands.join(small, ["band", "key"])
+    other = bands_ok.select(
         F.col("doc_id").alias("doc_b"), F.col("band"), F.col("key"))
     return (
-        bands.join(other, ["band", "key"])
+        bands_ok.join(other, ["band", "key"])
         .filter(F.col("doc_id") < F.col("doc_b"))
         .select(F.col("doc_id").alias("doc_a"), "doc_b")
         .distinct()
     )
+
+
+def lsh_oversized_buckets(signatures: DataFrame,
+                          max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
+    """(band, key, bucket_n) buckets lsh_candidates skipped."""
+    return (_minhash_bands(signatures)
+            .groupBy("band", "key")
+            .agg(F.count("*").alias("bucket_n"))
+            .filter(F.col("bucket_n") > max_bucket))
 
 
 def jaccard_verify(documents: DataFrame, pairs: DataFrame,
@@ -235,13 +270,19 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
     )
 
 
-def simhash_near_duplicates(documents: DataFrame,
-                            max_hamming: int = 6) -> DataFrame:
-    """(doc_a, doc_b, hamming) — pairs within Hamming distance, candidates
-    from 12-bit chunk equality (any identical chunk ⇒ candidate)."""
-    sigs = simhash_signatures(documents)
+def _simhash_chunks(sigs: DataFrame) -> DataFrame:
+    """(doc_id, simhash, c, v) — signature split into SIMHASH_CHUNKS
+    equality chunks.
+
+    NOTE on recall: chunk-equality banding guarantees finding every pair
+    with hamming ≤ SIMHASH_CHUNKS - 1 (pigeonhole: ≤3 flipped bits cannot
+    touch all 4 chunks). Callers passing max_hamming above that are
+    getting best-effort recall in (CHUNKS-1, max_hamming] — pairs whose
+    flips spread across all chunks are missed. The DuckDB oracle mirrors
+    the same candidate rule, so the gate checks implementation parity,
+    not absolute recall."""
     chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
-    chunks = sigs.select(
+    return sigs.select(
         "doc_id", "simhash",
         F.explode(
             F.array(*[
@@ -254,11 +295,28 @@ def simhash_near_duplicates(documents: DataFrame,
             ])
         ).alias("ch"),
     ).select("doc_id", "simhash", "ch.c", "ch.v")
-    other = chunks.select(
+
+
+def simhash_near_duplicates(documents: DataFrame,
+                            max_hamming: int = 6,
+                            max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
+    """(doc_a, doc_b, hamming) — pairs within Hamming distance, candidates
+    from 12-bit chunk equality (any identical chunk ⇒ candidate).
+
+    Chunk buckets larger than max_bucket are excluded (same O(n²)
+    guard as lsh_candidates); simhash_oversized_buckets() discloses."""
+    sigs = simhash_signatures(documents)
+    chunks = _simhash_chunks(sigs)
+    small = (chunks.groupBy("c", "v")
+             .agg(F.count("*").alias("bucket_n"))
+             .filter(F.col("bucket_n") <= max_bucket)
+             .select("c", "v"))
+    chunks_ok = chunks.join(small, ["c", "v"])
+    other = chunks_ok.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
         "c", "v")
     cand = (
-        chunks.join(other, ["c", "v"])
+        chunks_ok.join(other, ["c", "v"])
         .filter(F.col("doc_id") < F.col("doc_b"))
         .select(F.col("doc_id").alias("doc_a"), "doc_b",
                 F.col("simhash").alias("sim_a"), "sim_b")
@@ -271,6 +329,15 @@ def simhash_near_duplicates(documents: DataFrame,
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def simhash_oversized_buckets(documents: DataFrame,
+                              max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
+    """(c, v, bucket_n) chunk buckets simhash_near_duplicates skipped."""
+    return (_simhash_chunks(simhash_signatures(documents))
+            .groupBy("c", "v")
+            .agg(F.count("*").alias("bucket_n"))
+            .filter(F.col("bucket_n") > max_bucket))
 
 
 def ngram_jaccard_pairs(documents: DataFrame, k: int = 5,

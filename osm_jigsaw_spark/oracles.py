@@ -424,7 +424,8 @@ SELECT canonical_doc_id, n_dups FROM (
 """
 
 
-def sql_minhash_near_dups(threshold: float = 0.5) -> str:
+def sql_minhash_near_dups(threshold: float = 0.5,
+                          max_bucket: int = 1024) -> str:
     params = ", ".join(f"({j}, {a}, {b})" for j, a, b in minhash_params())
     rpb = MINHASH_K // MINHASH_BANDS
     bands = ", ".join(f"({b})" for b in range(MINHASH_BANDS))
@@ -446,9 +447,12 @@ bands AS (
            list_transform(sigs[b*{rpb}+1 : b*{rpb}+{rpb}], x -> x::VARCHAR),
            'string_agg', ',') AS key
   FROM sigs, (VALUES {bands}) bs(b)),
+small AS (
+  SELECT b, key FROM bands GROUP BY b, key HAVING count(*) <= {max_bucket}),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+  FROM bands x JOIN small s ON s.b = x.b AND s.key = x.key
+  JOIN bands y ON x.b = y.b AND x.key = y.key
   WHERE x.doc_id < y.doc_id),
 sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
 inter AS (
@@ -699,21 +703,45 @@ WHERE NOT EXISTS (SELECT 1 FROM hits x WHERE x.pos <= h.pos AND NOT x.ok)
 """
 
 
-def sql_embedding_near_dups(threshold: float = 0.45) -> str:
+def sql_embedding_near_dups(threshold: float = 0.45, bands: int = 8,
+                            planes_per_band: int = 8, dim: int = 64,
+                            max_bucket: int = 1024) -> str:
+    """Derivational twin of operators/similarity.embedding_near_duplicates:
+    banded md5 sign signatures, bucket cap, exact cosine verify."""
+    total = bands * planes_per_band
+    cos = """round(list_dot_product(ea.v, eb.v)
+             / (sqrt(list_dot_product(ea.v, ea.v))
+                * sqrt(list_dot_product(eb.v, eb.v))), 6)"""
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v))
-                * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v))
-               * sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}
+WITH pl AS (
+  SELECT p.p,
+         list(('0x' || substr(md5('p:' || p.p || ':' || d.d), 1, 15))::BIGINT
+              / 576460752303423488.0 - 1.0 ORDER BY d.d) AS pv
+  FROM generate_series(0, {total - 1}) p(p),
+       generate_series(0, {dim - 1}) d(d)
+  GROUP BY p.p),
+sigs AS (
+  SELECT e.vec_id, pl.p // {planes_per_band} AS band,
+         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.pv) >= 0
+                  THEN 1::BIGINT << (pl.p % {planes_per_band})
+                  ELSE 0 END)::BIGINT AS sig
+  FROM embeddings e CROSS JOIN pl GROUP BY e.vec_id, band),
+small AS (
+  SELECT band, sig FROM sigs GROUP BY band, sig
+  HAVING count(*) <= {max_bucket}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a JOIN small USING (band, sig) JOIN sigs b USING (band, sig)
+  WHERE a.vec_id < b.vec_id),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_a, vec_b, {cos} AS cos_sim
+FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b
+WHERE {cos} >= {threshold}
 """
 
 
-def sql_simhash_near_dups(max_hamming: int = 16) -> str:
+def sql_simhash_near_dups(max_hamming: int = 16,
+                          max_bucket: int = 1024) -> str:
     chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
     return f"""
 WITH toks AS (
@@ -731,10 +759,13 @@ chunks AS (
   SELECT doc_id, simhash, c,
          (simhash >> (c * {chunk_bits})) & {(1 << chunk_bits) - 1} AS v
   FROM sig, generate_series(0, {SIMHASH_CHUNKS - 1}) t(c)),
+small AS (
+  SELECT c, v FROM chunks GROUP BY c, v HAVING count(*) <= {max_bucket}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.simhash AS sa, b.simhash AS sb
-  FROM chunks a JOIN chunks b ON a.c = b.c AND a.v = b.v
+  FROM chunks a JOIN small s ON s.c = a.c AND s.v = a.v
+  JOIN chunks b ON a.c = b.c AND a.v = b.v
    AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}

@@ -1,0 +1,86 @@
+"""Banded-LSH embedding near-dup: recall vs the exact baseline, the
+all-pairs size guard, and the hot-bucket cap (VERDICT r1 items 3 & 5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_jigsaw_spark.operators import similarity as SIM
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").localCheckpoint()
+
+
+def test_banded_subset_of_exact_on_testdata(embeddings):
+    """Precision is 1 by construction (exact cosine verify): every banded
+    pair is a true pair. The testdata has NO true near-dups (max cos 0.479),
+    so threshold 0.45 samples the random-similarity tail — a regime LSH
+    deliberately under-recalls (see test_recall_on_true_near_dups for the
+    regime the operator targets)."""
+    exact = {(r.vec_a, r.vec_b) for r in
+             SIM.embedding_near_duplicates_exact(embeddings, 0.45).collect()}
+    banded = {(r.vec_a, r.vec_b) for r in
+              SIM.embedding_near_duplicates(embeddings, 0.45).collect()}
+    assert banded <= exact
+    assert len(exact) > 0
+
+
+def test_recall_on_true_near_dups(spark):
+    """Recall on actual near-duplicates (cos ~0.99): 100 base vectors each
+    with a lightly-perturbed twin; r=8,b=8 theory gives P[found] ~0.9999
+    per pair. Deterministic (fixed seed, md5 hyperplanes)."""
+    import numpy as np
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(100, 64))
+    twins = base + 0.05 * rng.normal(size=(100, 64))
+    rows = []
+    for i in range(100):
+        rows.append((i * 2, [float(x) for x in base[i]]))
+        rows.append((i * 2 + 1, [float(x) for x in twins[i]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    found = {(r.vec_a, r.vec_b) for r in
+             SIM.embedding_near_duplicates(df, 0.95).collect()}
+    true_pairs = {(i * 2, i * 2 + 1) for i in range(100)}
+    hit = len(found & true_pairs) / len(true_pairs)
+    assert hit >= 0.95, f"recall {hit} on true near-dup twins"
+
+
+def test_exact_size_guard(embeddings):
+    with pytest.raises(ValueError, match="all-pairs"):
+        SIM.embedding_near_duplicates_exact(embeddings, 0.45, max_rows=10)
+
+
+def test_hot_bucket_cap(spark):
+    """10k identical vectors land in ONE bucket per band; with a small cap
+    the bucket is skipped (no O(n^2) pair explosion) and disclosed."""
+    n = 10_000
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0), F.lit(2.0), F.lit(3.0), F.lit(4.0)])
+        .cast("array<float>").alias("embedding"),
+    )
+    pairs = SIM.embedding_near_duplicates(df, 0.9, bands=4,
+                                          planes_per_band=4, max_bucket=100)
+    assert pairs.count() == 0
+    over = SIM.oversized_buckets(df, bands=4, planes_per_band=4,
+                                 max_bucket=100).collect()
+    assert len(over) == 4  # one hot bucket disclosed per band
+    assert all(r.bucket_n == n for r in over)
+
+
+def test_cap_disabled_finds_identical_pairs(spark):
+    """Sanity: below the cap, identical vectors pair up with cos 1.0."""
+    df = spark.range(5).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.5), F.lit(-2.0), F.lit(3.0))
+        .cast("array<float>").alias("embedding"),
+    )
+    rows = SIM.embedding_near_duplicates(df, 0.99, bands=4,
+                                         planes_per_band=4).collect()
+    assert len(rows) == 10  # C(5,2)
+    assert all(abs(r.cos_sim - 1.0) < 1e-9 for r in rows)
