@@ -31,6 +31,14 @@ import os
 import sys
 import time
 
+# BLAS single-threading must precede the first numpy import (operator
+# modules import numpy at module load, and OpenBLAS pools initialize then)
+# — setting these inside get_spark is too late for the DRIVER process
+# (ADVICE r1); executors still get them via spark.executorEnv.*.
+for _var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+             "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+    os.environ.setdefault(_var, "1")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as E  # noqa: E402
@@ -80,7 +88,10 @@ def main():
     docs = scaled_documents_df(spark, n_areas).localCheckpoint(eager=True)
 
     def f_pipeline():
-        pipe = run_pipeline(docs, cache=False)
+        # scaled_documents_df emits only way+node docs — skip the
+        # ~10-stage relation sub-plan via the caller hint (lazy, no
+        # isEmpty() probe job; ADVICE r1)
+        pipe = run_pipeline(docs, cache=False, has_relations=False)
         state["areas"] = pipe.areas.localCheckpoint(eager=True)
         n = state["areas"].count()
         return {"n_areas": n}

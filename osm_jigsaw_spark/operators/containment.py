@@ -43,7 +43,7 @@ from ..functions import cells as C
 from ..functions.geometry import (
     bbox_contains_expr,
     is_axis_rect_col,
-    ring_contains_ring,
+    ring_contains_rings_batch,
 )
 
 ROOT_ID = "-1"  # synthetic root osm_id (reference uses area id -1)
@@ -77,13 +77,24 @@ def area_cell_index(areas: DataFrame,
 
 
 @F.pandas_udf(T.BooleanType())
-def _contains_udf(a_lats: pd.Series, a_lons: pd.Series,
+def _contains_udf(parent_key: pd.Series,
+                  a_lats: pd.Series, a_lons: pd.Series,
                   b_lats: pd.Series, b_lons: pd.Series) -> pd.Series:
-    out = np.empty(len(a_lats), dtype=bool)
-    for i in range(len(a_lats)):
-        out[i] = ring_contains_ring(
-            np.asarray(a_lats.iloc[i]), np.asarray(a_lons.iloc[i]),
-            np.asarray(b_lats.iloc[i]), np.asarray(b_lons.iloc[i]),
+    """Grouped-by-parent vectorized containment: candidate rows sharing a
+    parent ring (the common case after the cell join; call sites
+    sortWithinPartitions on the key to lengthen runs) are decided by ONE
+    ring_contains_rings_batch call — numpy cost per parent, not per pair."""
+    out = np.empty(len(parent_key), dtype=bool)
+    positions = pd.Series(range(len(parent_key))).groupby(
+        parent_key.to_numpy()).indices
+    for pos in positions.values():
+        first = pos[0]
+        ay = np.asarray(a_lats.iloc[first])
+        ax = np.asarray(a_lons.iloc[first])
+        out[pos] = ring_contains_rings_batch(
+            ay, ax,
+            [np.asarray(b_lats.iloc[i]) for i in pos],
+            [np.asarray(b_lons.iloc[i]) for i in pos],
         )
     return pd.Series(out)
 
@@ -142,10 +153,17 @@ def contains_pairs(areas: DataFrame) -> DataFrame:
               & bbox_area("child_bbox", "child_area"))
     cand = cand.withColumn("both_rect", p_rect & c_rect)
     rect_pairs = cand.filter("both_rect")
-    poly_pairs = cand.filter(~F.col("both_rect")).withColumn(
-        "is_contained",
-        _contains_udf("parent_lats", "parent_lons", "child_lats", "child_lons"),
-    ).filter("is_contained")
+    poly_pairs = (
+        cand.filter(~F.col("both_rect"))
+        # local (shuffle-free) sort so Arrow batches carry long same-parent
+        # runs — the grouped kernel then does one numpy sweep per parent
+        .sortWithinPartitions("parent_key")
+        .withColumn(
+            "is_contained",
+            _contains_udf("parent_key", "parent_lats", "parent_lons",
+                          "child_lats", "child_lons"),
+        ).filter("is_contained")
+    )
     cols = ["parent_key", "parent_osm_id", "child_key", "child_osm_id"]
     return rect_pairs.select(*cols).unionByName(poly_pairs.select(*cols))
 

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import cells as C
-from ..functions.geometry import points_in_ring
+from ..functions.geometry import points_ring_distance_batch
 from .containment import area_cell_index
 
 
@@ -62,25 +62,22 @@ def _kring_cells(lat, lon, ring: int):
 
 
 @F.pandas_udf(T.DoubleType())
-def _point_ring_distance(lat: pd.Series, lon: pd.Series,
+def _point_ring_distance(area_key: pd.Series, lat: pd.Series, lon: pd.Series,
                          lats: pd.Series, lons: pd.Series) -> pd.Series:
-    """Planar distance point→polygon boundary; 0 if inside-or-on."""
-    out = np.empty(len(lat), dtype=np.float64)
-    for i in range(len(lat)):
-        py, px = float(lat.iloc[i]), float(lon.iloc[i])
-        ry = np.asarray(lats.iloc[i])
-        rx = np.asarray(lons.iloc[i])
-        if points_in_ring(np.array([py]), np.array([px]), ry, rx)[0]:
-            out[i] = 0.0
-            continue
-        y1, x1 = ry, rx
-        y2, x2 = np.roll(ry, -1), np.roll(rx, -1)
-        dx, dy = x2 - x1, y2 - y1
-        seg2 = dx * dx + dy * dy
-        t = np.where(seg2 > 0, ((px - x1) * dx + (py - y1) * dy) / np.where(seg2 == 0, 1, seg2), 0.0)
-        t = np.clip(t, 0.0, 1.0)
-        cx, cy = x1 + t * dx, y1 + t * dy
-        out[i] = float(np.sqrt(np.min((px - cx) ** 2 + (py - cy) ** 2)))
+    """Planar distance point→polygon boundary; 0 if inside-or-on.
+    Grouped by ring: all candidate points of one area in a batch are
+    decided by ONE points_ring_distance_batch sweep."""
+    out = np.empty(len(area_key), dtype=np.float64)
+    positions = pd.Series(range(len(area_key))).groupby(
+        area_key.to_numpy()).indices
+    py = lat.to_numpy(np.float64)
+    px = lon.to_numpy(np.float64)
+    for pos in positions.values():
+        first = pos[0]
+        out[pos] = points_ring_distance_batch(
+            py[pos], px[pos],
+            np.asarray(lats.iloc[first]), np.asarray(lons.iloc[first]),
+        )
     return pd.Series(out)
 
 
@@ -98,8 +95,9 @@ def knn_areas(areas: DataFrame, points: DataFrame, k: int = 5,
                 "canonical_osm_id", "lats", "lons")
         .dropDuplicates(["point_id", "area_key"])
     )
-    with_d = cand.withColumn(
-        "distance", _point_ring_distance("lat", "lon", "lats", "lons")
+    with_d = cand.sortWithinPartitions("area_key").withColumn(
+        "distance",
+        _point_ring_distance("area_key", "lat", "lon", "lats", "lons"),
     )
     w = Window.partitionBy("point_id").orderBy(
         F.col("distance"), F.col("canonical_osm_id"), F.col("area_key"))

@@ -24,20 +24,29 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import cells as C
-from ..functions.geometry import ring_intersects_rect
+from ..functions.geometry import ring_intersects_rects_batch
 from .containment import ROOT_ID
 
 
 @F.pandas_udf(T.BooleanType())
-def _intersects_rect_udf(lats: pd.Series, lons: pd.Series,
+def _intersects_rect_udf(area_key: pd.Series,
+                         lats: pd.Series, lons: pd.Series,
                          min_lat: pd.Series, min_lon: pd.Series,
                          max_lat: pd.Series, max_lon: pd.Series) -> pd.Series:
-    out = np.empty(len(lats), dtype=bool)
-    for i in range(len(lats)):
-        out[i] = ring_intersects_rect(
-            np.asarray(lats.iloc[i]), np.asarray(lons.iloc[i]),
-            float(min_lat.iloc[i]), float(min_lon.iloc[i]),
-            float(max_lat.iloc[i]), float(max_lon.iloc[i]),
+    """Grouped-by-ring vectorized polygon∩rect: all candidate tiles of one
+    area in a batch are decided by ONE ring_intersects_rects_batch call."""
+    out = np.empty(len(area_key), dtype=bool)
+    positions = pd.Series(range(len(area_key))).groupby(
+        area_key.to_numpy()).indices
+    mnla = min_lat.to_numpy(np.float64)
+    mnlo = min_lon.to_numpy(np.float64)
+    mxla = max_lat.to_numpy(np.float64)
+    mxlo = max_lon.to_numpy(np.float64)
+    for pos in positions.values():
+        first = pos[0]
+        out[pos] = ring_intersects_rects_batch(
+            np.asarray(lats.iloc[first]), np.asarray(lons.iloc[first]),
+            mnla[pos], mnlo[pos], mxla[pos], mxlo[pos],
         )
     return pd.Series(out)
 
@@ -64,10 +73,10 @@ def tile_assignments(spark: SparkSession, areas: DataFrame,
     # and the refinement consistent. Deviation from esri areasIntersect
     # (touch counts there) documented; reference tests don't pin touch cases.
     eps = 1e-9
-    hit = cand.withColumn(
+    hit = cand.sortWithinPartitions("area_key").withColumn(
         "touches",
         _intersects_rect_udf(
-            "lats", "lons",
+            "area_key", "lats", "lons",
             F.col("t_min_lat") + eps, F.col("t_min_lon") + eps,
             F.col("t_max_lat") - eps, F.col("t_max_lon") - eps),
     ).filter("touches")

@@ -279,6 +279,138 @@ FROM rels r
 """
 
 
+_NAMED_SPAN = """len(list_filter(spans, s -> s['kind'] = 'text'
+        AND (split_part(s['text'], '=', 1) = 'name'
+             OR s['text'] LIKE 'name:%'
+             OR split_part(s['text'], '=', 1) = 'addr:housename'))) > 0"""
+
+# Shared CTE chain re-deriving the engine's "ways used by areas" set
+# (steps/ExtractAreas.scala:49-56) from the fixture docs alone:
+# closed+named ways contribute themselves; named expandable relations
+# contribute their outer-role way members, recursing through outer-role
+# sub-relations (OuterWayResolver semantics). Sound for the fixture because
+# every stitched fixture ring closes (no ways dropped by the closure test).
+WAYS_USED_CTES = f"""
+wspans AS (
+  SELECT doc_id, m['media_ref'] AS mr, m['offset'] AS off
+  FROM fixdocs, UNNEST(spans) AS t(m)
+  WHERE doc_id LIKE '%W' AND m['kind'] = 'media'
+    AND m['media_ref'] LIKE 'node:%'),
+wnodes AS (
+  SELECT try_cast(substr(doc_id, 1, length(doc_id)-1) AS BIGINT) AS way_id,
+         array_agg(try_cast(substr(mr, 6) AS BIGINT) ORDER BY off)
+           AS node_ids
+  FROM wspans GROUP BY doc_id),
+closed_named_ways AS (
+  SELECT w.way_id FROM wnodes w
+  JOIN fixdocs d ON d.doc_id = w.way_id || 'W'
+  WHERE len(w.node_ids) > 2 AND w.node_ids[1] = w.node_ids[-1]
+    AND {_NAMED_SPAN}),
+rels AS (
+  SELECT try_cast(substr(doc_id, 1, length(doc_id)-1) AS BIGINT) AS rel_id,
+         spans, {_NAMED_SPAN} AS named
+  FROM fixdocs WHERE doc_id LIKE '%R'),
+redges AS (
+  SELECT r.rel_id AS parent,
+         try_cast(split_part(substr(m['media_ref'], 5), '#', 1) AS BIGINT)
+           AS child,
+         split_part(m['media_ref'], '#', 2) AS role
+  FROM rels r, UNNEST(r.spans) AS t(m)
+  WHERE m['kind'] = 'media' AND m['media_ref'] LIKE 'rel:%'),
+xwalk(root, cur, path) AS (
+  SELECT rel_id, rel_id, [rel_id] FROM rels
+  UNION ALL
+  SELECT w.root, e.child, list_append(w.path, e.child)
+  FROM xwalk w JOIN redges e ON e.parent = w.cur
+  WHERE NOT list_contains(w.path, e.child)),
+cyc AS (
+  SELECT DISTINCT w.root FROM xwalk w
+  JOIN redges e ON e.parent = w.cur
+  WHERE list_contains(w.path, e.child)),
+miss AS (
+  SELECT DISTINCT w.root FROM xwalk w
+  JOIN redges e ON e.parent = w.cur
+  LEFT JOIN rels r ON r.rel_id = e.child
+  WHERE r.rel_id IS NULL),
+good_rels AS (
+  SELECT rel_id FROM rels
+  WHERE named AND rel_id NOT IN (SELECT root FROM cyc)
+    AND rel_id NOT IN (SELECT root FROM miss)),
+owalk(root, cur, path) AS (
+  SELECT rel_id, rel_id, [rel_id] FROM good_rels
+  UNION ALL
+  SELECT w.root, e.child, list_append(w.path, e.child)
+  FROM owalk w JOIN redges e ON e.parent = w.cur AND e.role = 'outer'
+  WHERE NOT list_contains(w.path, e.child)),
+outer_member_ways AS (
+  SELECT DISTINCT
+         try_cast(split_part(substr(m['media_ref'], 5), '#', 1) AS BIGINT)
+           AS way_id
+  FROM owalk w JOIN rels r ON r.rel_id = w.cur,
+       UNNEST(r.spans) AS t(m)
+  WHERE m['kind'] = 'media' AND m['media_ref'] LIKE 'way:%'
+    AND split_part(m['media_ref'], '#', 2) = 'outer'),
+fways_used AS (
+  SELECT way_id FROM closed_named_ways
+  UNION
+  SELECT way_id FROM outer_member_ways)
+"""
+
+
+def sql_ways_used() -> str:
+    """A4: the waysUsed set."""
+    return f"""
+WITH RECURSIVE {fix_docs_cte()},
+{WAYS_USED_CTES}
+SELECT way_id FROM fways_used
+"""
+
+
+def sql_way_points_stats() -> str:
+    """S-layer OutputWay analog: per used way, resolved point stats."""
+    return f"""
+WITH RECURSIVE {fix_docs_cte()},
+{WAYS_USED_CTES},
+npts AS (
+  SELECT try_cast(substr(doc_id, 1, length(doc_id)-1) AS BIGINT) AS node_id,
+         try_cast(split_part(substr(list_filter(spans,
+             s -> s['kind'] = 'media'
+             AND s['media_ref'][1:4] = 'geo:')[1]['media_ref'], 5),
+             ',', 1) AS DOUBLE) AS lat,
+         try_cast(split_part(substr(list_filter(spans,
+             s -> s['kind'] = 'media'
+             AND s['media_ref'][1:4] = 'geo:')[1]['media_ref'], 5),
+             ',', 2) AS DOUBLE) AS lon
+  FROM fixdocs WHERE doc_id LIKE '%N')
+SELECT u.way_id,
+       len(w.node_ids)::BIGINT AS n_points,
+       CAST(round(min(n.lat), 6) AS DOUBLE) AS min_lat,
+       CAST(round(min(n.lon), 6) AS DOUBLE) AS min_lon,
+       CAST(round(max(n.lat), 6) AS DOUBLE) AS max_lat,
+       CAST(round(max(n.lon), 6) AS DOUBLE) AS max_lon
+FROM fways_used u
+JOIN wnodes w ON w.way_id = u.way_id,
+UNNEST(w.node_ids) AS t(nid)
+JOIN npts n ON n.node_id = t.nid
+GROUP BY u.way_id, len(w.node_ids)
+"""
+
+
+def sql_area_tags() -> str:
+    """P7: tags pruned to area-referenced osm ids
+    (ExtractAreaTags.scala:23-25), exploded to rows."""
+    return f"""
+WITH {fix_docs_cte()}, {areas_cte()},
+used AS (SELECT DISTINCT unnest(osm_ids) AS osm_id FROM fareas)
+SELECT d.doc_id AS osm_id,
+       split_part(s['text'], '=', 1) AS k,
+       substr(s['text'], length(split_part(s['text'], '=', 1)) + 2) AS v
+FROM fixdocs d JOIN used u ON u.osm_id = d.doc_id,
+     UNNEST(d.spans) AS t(s)
+WHERE s['kind'] = 'text'
+"""
+
+
 def sql_ring_counts() -> str:
     rows = ", ".join(
         f"('{osm}', {n}, '{sizes}')"

@@ -27,20 +27,24 @@ class PipelineResult:
     tags: DataFrame
     areas: DataFrame
     graph_edges: DataFrame
+    area_tags: DataFrame  # tags pruned to area-referenced osm ids (P7)
 
 
-def run_pipeline(documents: DataFrame, cache: bool = True) -> PipelineResult:
+def run_pipeline(documents: DataFrame, cache: bool = True,
+                 has_relations: bool | None = None) -> PipelineResult:
     nodes = D.decode_nodes(documents)
     ways = D.decode_ways(documents)
     relations = D.decode_relations(documents)
     tags = D.decode_tags(documents)
-    areas = A.build_areas(nodes, ways, relations)
+    areas = A.build_areas(nodes, ways, relations,
+                          has_relations=has_relations)
     if cache:
         # areas feeds both sides of the containment join and the root
         # anti-join — materialize once (Iceberg snapshot on a cluster).
         areas = areas.localCheckpoint(eager=True)
     edges = G.graph_edges(areas)
-    return PipelineResult(nodes, ways, relations, tags, areas, edges)
+    atags = A.area_tags(tags, areas)
+    return PipelineResult(nodes, ways, relations, tags, areas, edges, atags)
 
 
 def load_documents(spark: SparkSession, path: str) -> DataFrame:

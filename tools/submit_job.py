@@ -25,7 +25,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
+
+# BLAS single-threading before the first numpy import (driver-side; see
+# bench.py header note — get_spark is too late for the driver process)
+for _var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+             "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+    os.environ.setdefault(_var, "1")
 
 
 def main() -> None:
