@@ -165,6 +165,35 @@ def q_naming(spark, sf_dir):
     return name_points(paths, fx["pipe"].areas, fx["pipe"].tags)
 
 
+def q_area_tags(spark, sf_dir):
+    """P7 — tags pruned to area-referenced osm ids, exploded to rows."""
+    pipe = _fx(spark)["pipe"]
+    pruned = OA.area_tags(pipe.tags, pipe.areas)
+    return pruned.select(
+        "osm_id", F.explode("tags").alias("k", "v"))
+
+
+def q_ways_used(spark, sf_dir):
+    """A4 — the waysUsed set (distinct |way ids| behind any area outline)."""
+    pipe = _fx(spark)["pipe"]
+    return OA.used_way_ids(OA.outline_way_refs(pipe.ways, pipe.relations))
+
+
+def q_way_points_stats(spark, sf_dir):
+    """S-layer OutputWay analog — per used way, resolved point stats."""
+    pipe = _fx(spark)["pipe"]
+    refs = OA.outline_way_refs(pipe.ways, pipe.relations)
+    wp = OA.way_points(pipe.ways, pipe.nodes, used=OA.used_way_ids(refs))
+    return wp.select(
+        "way_id",
+        F.size("lats").cast("long").alias("n_points"),
+        F.round(F.array_min("lats"), 6).alias("min_lat"),
+        F.round(F.array_min("lons"), 6).alias("min_lon"),
+        F.round(F.array_max("lats"), 6).alias("max_lat"),
+        F.round(F.array_max("lons"), 6).alias("max_lon"),
+    )
+
+
 def q_expansion_status(spark, sf_dir):
     return expansion_status(_fx(spark)["pipe"].relations)
 
@@ -463,6 +492,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "naming": q_naming,
         "expansion_status": q_expansion_status,
         "ring_counts": q_ring_counts,
+        "area_tags": q_area_tags,
+        "ways_used": q_ways_used,
+        "way_points_stats": q_way_points_stats,
         "all_paths": q_all_paths,
         "path_walk": q_path_walk,
         "topo_depths": q_topo_depths,
@@ -509,6 +541,9 @@ def oracle_sql() -> dict[str, str]:
         "naming": O.sql_naming(),
         "expansion_status": O.sql_expansion_status(),
         "ring_counts": O.sql_ring_counts(),
+        "area_tags": O.sql_area_tags(),
+        "ways_used": O.sql_ways_used(),
+        "way_points_stats": O.sql_way_points_stats(),
         "all_paths": O.sql_all_paths(),
         "path_walk": O.sql_path_walk(PATH_WALK_CHAIN),
         "topo_depths": O.sql_topo_depths(),
