@@ -12,7 +12,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .containment import ROOT_ID
@@ -69,14 +69,14 @@ def walk_path(edges: DataFrame, osm_id_chain: list[str]) -> DataFrame:
         .withColumn("ok", F.lit(True))
     walked = steps.join(hit, ["parent_osm_id", "child_osm_id"], "left") \
         .withColumn("ok", F.coalesce("ok", F.lit(False)))
-    # prefix semantics: a step is valid only if all earlier steps are
-    w = walked.select(
-        "pos", "parent_osm_id", "child_osm_id", "ok").orderBy("pos").collect()
-    valid = []
-    for row in w:
-        if not row["ok"]:
-            break
-        valid.append((row["pos"], row["parent_osm_id"],
-                      row["child_osm_id"], True))
-    return spark.createDataFrame(
-        valid, "pos int, parent_osm_id string, child_osm_id string, ok boolean")
+    # prefix semantics: a step is valid only if all earlier steps are —
+    # a running-min window over the (tiny, single-chain) pos order; stays
+    # a DataFrame end to end (no driver collect in the operator path)
+    w = Window.orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (
+        walked.withColumn(
+            "ok", F.min(F.col("ok").cast("int")).over(w) == 1)
+        .filter("ok")
+        .select("pos", "parent_osm_id", "child_osm_id", "ok")
+    )

@@ -16,8 +16,12 @@ Training-data-pipeline extension (no reference analog):
   sign signature → bucket match against the broadcast query signatures →
   exact cosine only within matching buckets. Candidates shrink
   ~2^planes-fold; recall tunable by planes.
+- embedding_near_duplicates: banded sign-signature LSH (b bands × r
+  planes) → capped (band, sig) bucket self-join → pure-codegen columnar
+  cosine verify. No driver collect, no corpus broadcast, no all-pairs;
+  embedding_near_duplicates_exact is the guarded small-scale baseline.
 
-Both kernels are Arrow-batched numpy (no per-row Python), stay
+All kernels are Arrow-batched numpy (no per-row Python), stay
 embarrassingly partition-parallel, and never shuffle the corpus.
 """
 

@@ -55,15 +55,19 @@ def main():
     # multi-minute bursts, so back-to-back single runs can land one level
     # entirely inside a noisy window and flip the comparison. Per-query
     # minima across rounds estimate each level's clean-window performance.
-    # Every run is also appended to BENCH_HISTORY.jsonl and minima are
-    # merged across ALL recorded sessions at the same (cpus, n_areas) —
-    # burst noise within one session is correlated, so cross-session
-    # minima converge on clean-window performance much faster.
+    # Every run is also appended to BENCH_HISTORY.jsonl tagged with the
+    # current git SHA, and minima are merged ONLY across sessions at the
+    # same (sha, cpus, n_areas) — timings from older engine code are never
+    # folded into the current code's evidence (ADVICE r1).
     hist_path = "BENCH_HISTORY.jsonl"
+    sha = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+        text=True).stdout.strip() or "unknown"
 
     def record(r: dict, cpus: int) -> None:
         with open(hist_path, "a") as f:
-            f.write(json.dumps({"cpus": cpus, "n_areas": n_areas,
+            f.write(json.dumps({"sha": sha, "cpus": cpus,
+                                "n_areas": n_areas,
                                 "queries": r["queries"],
                                 "extra": r["extra"]}) + "\n")
 
@@ -76,11 +80,11 @@ def main():
         record(r, high)
         runs_high.append(r)
 
-    # fold in prior sessions at the same configuration
+    # fold in prior sessions at the same configuration AND engine version
     if os.path.exists(hist_path):
         for line in open(hist_path):
             h = json.loads(line)
-            if h["n_areas"] != n_areas:
+            if h["n_areas"] != n_areas or h.get("sha") != sha:
                 continue
             entry = {"queries": h["queries"], "extra": h["extra"],
                      "value": 0, "sf": runs_low[0]["sf"]}
@@ -108,6 +112,20 @@ def main():
     r_low = merged(runs_low)
     r_high = merged(runs_high)
 
+    # per-round end-to-end core totals (this session's fresh runs only) —
+    # the merged-minima core total below is a composite no single run
+    # achieved; these show what single runs actually did (ADVICE r1)
+    def round_totals(rs: list[dict]) -> list[float]:
+        return sorted(
+            round(sum(t for q, t in r["queries"].items() if q in CORE), 2)
+            for r in rs[:rounds])
+
+    tot_low, tot_high = round_totals(runs_low), round_totals(runs_high)
+
+    def med(xs: list[float]) -> float:
+        return xs[len(xs) // 2] if len(xs) % 2 else (
+            xs[len(xs) // 2 - 1] + xs[len(xs) // 2]) / 2
+
     lines = [
         "# BENCH — scaling evidence (N vs 4N parallelism)",
         "",
@@ -121,8 +139,9 @@ def main():
         "so minima estimate clean-window performance at each level.",
         "",
         f"| query | local[{low}] sec | local[{high}] sec | speedup | "
-        f"efficiency (/{factor:.0f}x) |",
-        "|---|---|---|---|---|",
+        f"efficiency (/{factor:.0f}x) | fixed cost sec (2-pt fit, % of "
+        f"local[{high}]) |",
+        "|---|---|---|---|---|---|",
     ]
     core_low = core_high = 0.0
     for q in r_low["queries"]:
@@ -131,12 +150,19 @@ def main():
             core_low += tl
             core_high += th
         sp = tl / th if th else float("nan")
+        # two-point Amdahl fit T(c) = F + W/c: attributes each query's
+        # efficiency loss to its non-parallel floor (plan compile, Python
+        # worker spin-up, driver-side stages) vs scalable task time
+        W = (tl - th) / (1.0 / low - 1.0 / high)
+        Fq = max(0.0, tl - W / low)
+        fpct = (Fq / th * 100) if th else float("nan")
         lines.append(
-            f"| {q} | {tl:.2f} | {th:.2f} | {sp:.2f}x | {sp / factor:.2f} |")
+            f"| {q} | {tl:.2f} | {th:.2f} | {sp:.2f}x | {sp / factor:.2f} "
+            f"| {Fq:.2f} ({fpct:.0f}%) |")
     eff = (core_low / core_high) / factor
     lines += [
         f"| **core total** | **{core_low:.2f}** | **{core_high:.2f}** | "
-        f"**{core_low / core_high:.2f}x** | **{eff:.2f}** |",
+        f"**{core_low / core_high:.2f}x** | **{eff:.2f}** | |",
         "",
         "## Throughput",
         "",
@@ -146,6 +172,18 @@ def main():
         f"| {r_high['extra']['containment_areas_per_sec']} |",
         f"| geocode lookups/sec | {r_low['extra']['geocode_lookups_per_sec']} "
         f"| {r_high['extra']['geocode_lookups_per_sec']} |",
+        "",
+        "## Per-round end-to-end core totals (this session, no minima merge)",
+        "",
+        f"| level | rounds (sec, sorted) | median | min |",
+        "|---|---|---|---|",
+        f"| local[{low}] | {', '.join(f'{t:.2f}' for t in tot_low)} "
+        f"| {med(tot_low):.2f} | {tot_low[0]:.2f} |",
+        f"| local[{high}] | {', '.join(f'{t:.2f}' for t in tot_high)} "
+        f"| {med(tot_high):.2f} | {tot_high[0]:.2f} |",
+        "",
+        f"Merged-minima evidence above folds in prior sessions **at git "
+        f"SHA {sha} only** — timings from older engine code are excluded.",
         "",
         "Core total = the six partition-parallel engine queries (sub-second",
         "relational lookups excluded — they are latency-bound, not",
