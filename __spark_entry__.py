@@ -363,6 +363,12 @@ def q_events_windowed(spark, sf_dir):
     )
 
 
+def q_event_sessions(spark, sf_dir):
+    from osm_jigsaw_spark.streaming.sessions import sessionize_batch
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_batch(ev)
+
+
 def q_min_by_source(spark, sf_dir):
     from pyspark.sql import Window
     docs = _t(spark, sf_dir, "documents")
@@ -508,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_reuse_histogram": q_part_reuse_histogram,
         "topk_events": q_topk_events,
         "events_windowed": q_events_windowed,
+        "event_sessions": q_event_sessions,
         "min_by_source": q_min_by_source,
         # training-data operators (testdata)
         "exact_dup": q_exact_dup,
@@ -556,6 +563,7 @@ def oracle_sql() -> dict[str, str]:
         "part_reuse_histogram": O.SQL_PART_REUSE_HISTOGRAM,
         "topk_events": O.SQL_TOPK_EVENTS,
         "events_windowed": O.SQL_EVENTS_WINDOWED,
+        "event_sessions": O.SQL_EVENT_SESSIONS,
         "min_by_source": O.SQL_MIN_BY_SOURCE,
         "exact_dup": O.SQL_EXACT_DUP,
         "minhash_near_dups": O.sql_minhash_near_dups(0.5),

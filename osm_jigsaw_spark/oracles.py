@@ -35,6 +35,7 @@ from .operators.dedup import (
     minhash_params,
 )
 from .operators.textops import MOD, STOPWORDS, TOKEN_REGEX
+from .streaming.sessions import DEFAULT_GAP_MIN
 
 _WORLD = build_world()
 
@@ -513,6 +514,29 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
          AS total_value
 FROM events GROUP BY 1, 2
+"""
+
+# gap-and-island sessionization — derivational twin of
+# streaming/sessions.sessionize_batch (gap = DEFAULT_GAP_MIN minutes)
+SQL_EVENT_SESSIONS = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > {DEFAULT_GAP_MIN} * 60
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+         AS total_value
+FROM numbered GROUP BY 1, 2
 """
 
 SQL_MIN_BY_SOURCE = """
