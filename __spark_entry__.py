@@ -460,6 +460,24 @@ def q_frame_sample(spark, sf_dir):
         F.col("frame_index").cast("long").alias("frame_index"))
 
 
+def q_media_resize(spark, sf_dir):
+    media = MM.attach_fake_media(_t(spark, sf_dir, "documents"))
+    return MM.resize_media(media, max_dim=32, fake=True).select(
+        "doc_id",
+        F.col("src_width").cast("long").alias("src_width"),
+        F.col("src_height").cast("long").alias("src_height"),
+        F.col("out_width").cast("long").alias("out_width"),
+        F.col("out_height").cast("long").alias("out_height"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.md5(F.lower(F.hex(F.col("thumb")))).alias("thumb_md5"))
+
+
+def q_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, n_queries=20, k=5, centroid_stride=31,
+                        nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -531,6 +549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
+        "media_resize": q_media_resize,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -579,4 +599,6 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": O.SQL_FINGERPRINTS,
         "media_features": O.SQL_MEDIA_FEATURES,
         "frame_sample": O.SQL_FRAME_SAMPLE,
+        "media_resize": O.sql_media_resize(32),
+        "ivf_topk": O.sql_ivf_topk(20, 5, 31, 4),
     }

@@ -104,3 +104,62 @@ def frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
             F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every))
         ).alias("frame_index"),
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, media_type string, src_width int, src_height int, "
+    "out_width int, out_height int, n_bytes int, thumb binary"
+)
+
+
+def resize_media(media: DataFrame, max_dim: int = 32,
+                 fake: bool = True) -> DataFrame:
+    """Aspect-preserving resize stage: longest side clamped to max_dim.
+
+    Target-dimension math is pure columnar (integer floor division —
+    survives whole-stage codegen and is mirrored exactly by the DuckDB
+    oracle); only the pixel resample itself runs in mapInPandas, and that
+    codec step is STUBBED like decode_image: fake=True emits a
+    deterministic md5-derived thumbnail of exactly out_width*out_height
+    bytes (so downstream batch shapes and sizes are real), fake=False
+    raises via decode_image."""
+    g = F.greatest(F.col("meta.width"), F.col("meta.height"))
+
+    def target(side):
+        return F.when(g <= max_dim, F.col(f"meta.{side}")).otherwise(
+            F.greatest(F.lit(1),
+                       F.floor(F.col(f"meta.{side}") * max_dim / g))
+        ).cast("int")
+
+    t = media.select(
+        "doc_id", "media_type", "payload",
+        F.col("meta.width").alias("src_width"),
+        F.col("meta.height").alias("src_height"),
+        target("width").alias("out_width"),
+        target("height").alias("out_height"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = []
+            for payload, ow, oh in zip(pdf["payload"], pdf["out_width"],
+                                       pdf["out_height"]):
+                b = bytes(payload)
+                if not fake:
+                    decode_image(b)  # raises: codecs unavailable here
+                n = int(ow) * int(oh)
+                dig = hashlib.md5(b).digest()
+                thumbs.append((dig * ((n + 15) // 16))[:n])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "src_width": pdf["src_width"],
+                "src_height": pdf["src_height"],
+                "out_width": pdf["out_width"],
+                "out_height": pdf["out_height"],
+                "n_bytes": (pdf["out_width"] * pdf["out_height"])
+                .astype("int32"),
+                "thumb": thumbs,
+            })
+
+    return t.mapInPandas(run, RESIZE_SCHEMA)

@@ -340,3 +340,85 @@ def embedding_near_duplicates_exact(embeddings: DataFrame,
 
     return embeddings.select("vec_id", "embedding").mapInPandas(
         kernel, "vec_a long, vec_b long, cos_sim double")
+
+
+def ivf_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5,
+             centroid_stride: int = 31, nprobe: int = 4) -> DataFrame:
+    """(query_id, vec_id, cos_sim, rank) — IVF (inverted-file) approximate
+    top-k: the coarse-quantizer scale path alongside lsh_topk.
+
+    Index build (one corpus pass, shuffle-free):
+      1. centroids = rows with vec_id % centroid_stride == 0 — a
+         deterministic stride sample standing in for k-means training
+         (FAISS trains its quantizer on a bounded sample the same way).
+         Pick stride so nlist ~ sqrt(n); the collected centroid matrix
+         (nlist x dim doubles) is the bounded index artifact, broadcast
+         once — the corpus itself is never collected.
+      2. every vector -> nearest centroid (max rounded cosine, tie ->
+         lowest centroid id) via one BLAS matmul per Arrow batch.
+
+    Query (bounded set, vec_id < n_queries):
+      3. each query probes its nprobe nearest centroids (driver-side
+         numpy over the same broadcast matrix);
+      4. candidates = corpus rows assigned to a probed cell (broadcast
+         hash join on cell — no corpus shuffle), self excluded;
+      5. exact cosine verify as a pure-codegen columnar expression
+         (_cos_sim_col, summation order identical to the DuckDB oracle),
+         then per-query top-k (cos desc, vec_id asc).
+
+    Results are exactly brute-force top-k restricted to probed cells —
+    the DuckDB oracle (oracles.sql_ivf_topk) mirrors every step
+    derivationally; recall-vs-nprobe behavior is covered by
+    tests/test_similarity.py on a clustered fixture. At 100 TB: the only
+    shuffles are candidate-sized (window by query_id), assignment is a
+    map-only pass, and skewed cells bound at cell population — nlist
+    ~ sqrt(n) keeps expected cell size ~ sqrt(n)."""
+    spark = embeddings.sparkSession
+    cent_rows = (
+        embeddings.filter(F.col("vec_id") % centroid_stride == 0)
+        .select("vec_id", "embedding").collect())
+    cent_rows.sort(key=lambda r: r.vec_id)
+    c_ids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+    C = np.array([r.embedding for r in cent_rows], dtype=np.float64)
+    Cnorm = np.linalg.norm(C, axis=1)
+    bc = spark.sparkContext.broadcast((c_ids, C, Cnorm))
+
+    def assign(batches):
+        ids_, C_, Cn_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(list(pdf["embedding"]), dtype=np.float64)
+            sims = np.round(
+                (V @ C_.T) / (np.linalg.norm(V, axis=1)[:, None]
+                              * Cn_[None, :]), 6)
+            # argmax picks the first maximal column; ids_ ascending =>
+            # ties resolve to the lowest centroid id (oracle order).
+            cell = ids_[np.argmax(sims, axis=1)]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cell": cell})
+
+    assignments = embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, cell long")
+
+    q_ids, Q = _collect_queries(embeddings, n_queries)
+    qsims = np.round((Q @ C.T) / (np.linalg.norm(Q, axis=1)[:, None]
+                                  * Cnorm[None, :]), 6)
+    probe_rows = []
+    for qi in range(len(q_ids)):
+        order = np.lexsort((c_ids, -qsims[qi]))[:nprobe]
+        probe_rows += [(int(q_ids[qi]), int(c_ids[c])) for c in order]
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell long")
+
+    cand = (assignments.join(F.broadcast(probes), "cell")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id"))
+    e = embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    partial = (
+        cand.join(e, "vec_id")
+        .join(e.select(F.col("vec_id").alias("query_id"),
+                       F.col("v").alias("qv")), "query_id")
+        .withColumn("cos_sim", F.round(_cos_sim_col("qv", "v"), 6))
+        .select("query_id", "vec_id", "cos_sim"))
+    return _rank_merge(partial, k)

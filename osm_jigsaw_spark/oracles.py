@@ -720,6 +720,54 @@ SELECT query_id, vec_id, cos_sim, rank FROM (
 """
 
 
+def sql_ivf_topk(n_queries: int = 20, k: int = 5,
+                 centroid_stride: int = 31, nprobe: int = 4) -> str:
+    """Derivational twin of operators/similarity.ivf_topk: stride-sampled
+    centroids, nearest-centroid assignment (rounded cosine, tie -> lowest
+    centroid id), nprobe probed cells per query, exact cosine within the
+    probed cells."""
+    cos = ("round(list_dot_product(e.embedding::DOUBLE[], c.cv)"
+           " / (sqrt(list_dot_product(e.embedding::DOUBLE[],"
+           " e.embedding::DOUBLE[])) * sqrt(list_dot_product(c.cv, c.cv)))"
+           ", 6)")
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id % {centroid_stride} = 0),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+probes AS (
+  SELECT query_id, cid AS cell FROM (
+    SELECT e.vec_id AS query_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id < {n_queries}) WHERE rn <= {nprobe}),
+sims AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_dot_product(q.embedding::DOUBLE[],
+                                e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                        q.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))), 6)
+           AS cos_sim
+  FROM probes p
+  JOIN assign a USING (cell)
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM sims) WHERE rank <= {k}
+"""
+
+
 SQL_LANG_ID = f"""
 SELECT doc_id,
   CASE WHEN len(list_filter({_WORDS}, w -> list_contains({_STOP_LIST}, w)))
@@ -766,6 +814,35 @@ SELECT doc_id, 'image' AS media_type,
        strlen(text) AS n_bytes, md5(text) AS payload_md5
 FROM documents
 """
+
+def sql_media_resize(max_dim: int = 32) -> str:
+    """Derivational twin of operators/multimodal.resize_media over
+    attach_fake_media: meta dims from text length, integer floor-division
+    target dims, thumbnail fingerprint = md5 of the lowercase-hex thumb
+    (DuckDB md5 is VARCHAR-only, so the fingerprint runs in hex domain:
+    hex(thumb) == repeat(md5(payload))[: 2*n_bytes])."""
+    return f"""
+WITH m AS (
+  SELECT doc_id, text,
+         (length(text) % 64 + 1)::INT AS w,
+         (length(text) % 48 + 1)::INT AS h
+  FROM documents),
+t AS (
+  SELECT doc_id, text, w, h,
+         CASE WHEN greatest(w, h) <= {max_dim} THEN w
+              ELSE greatest(1, (w * {max_dim}) // greatest(w, h)) END AS ow,
+         CASE WHEN greatest(w, h) <= {max_dim} THEN h
+              ELSE greatest(1, (h * {max_dim}) // greatest(w, h)) END AS oh
+  FROM m)
+SELECT doc_id,
+       w::BIGINT AS src_width, h::BIGINT AS src_height,
+       ow::BIGINT AS out_width, oh::BIGINT AS out_height,
+       (ow * oh)::BIGINT AS n_bytes,
+       md5(substring(repeat(md5(text), ((2 * ow * oh + 31) // 32)::INT),
+                     1, (2 * ow * oh)::INT)) AS thumb_md5
+FROM t
+"""
+
 
 SQL_FRAME_SAMPLE = """
 SELECT doc_id, 'image' AS media_type,
