@@ -16,6 +16,9 @@ Efficiency for a fixed-size workload scaled from N to 4N cores is
 (T_N / T_4N) / 4 — 1.0 means perfect strong scaling. Writes BENCH.md.
 
 Usage: python tools/bench_scaling.py [low_cpus] [high_cpus] [n_areas] [reps]
+       [rounds]   (rounds=0: report-only — regenerate BENCH.md from
+                   BENCH_HISTORY.jsonl entries at the current git SHA
+                   without launching any new runs)
 """
 
 from __future__ import annotations
@@ -87,11 +90,14 @@ def main():
             if h["n_areas"] != n_areas or h.get("sha") != sha:
                 continue
             entry = {"queries": h["queries"], "extra": h["extra"],
-                     "value": 0, "sf": runs_low[0]["sf"]}
+                     "value": 0, "sf": 0.1}
             if h["cpus"] == low:
                 runs_low.append(entry)
             elif h["cpus"] == high:
                 runs_high.append(entry)
+    if not runs_low or not runs_high:
+        sys.exit(f"no history at sha={sha} n_areas={n_areas} for both "
+                 f"cpus={low} and cpus={high}; run with rounds>0 first")
 
     def merged(rs: list[dict]) -> dict:
         out = json.loads(json.dumps(rs[0]))
@@ -116,9 +122,10 @@ def main():
     # the merged-minima core total below is a composite no single run
     # achieved; these show what single runs actually did (ADVICE r1)
     def round_totals(rs: list[dict]) -> list[float]:
+        take = rs[:rounds] if rounds else rs  # report-only: all history
         return sorted(
             round(sum(t for q, t in r["queries"].items() if q in CORE), 2)
-            for r in rs[:rounds])
+            for r in take)
 
     tot_low, tot_high = round_totals(runs_low), round_totals(runs_high)
 
@@ -133,8 +140,9 @@ def main():
         f"points / sf={r_low['sf']} testdata), fresh JVM per level:",
         f"`local[{low}]` vs `local[{high}]` — the sandbox proxy for N vs 4N",
         "executors agreed in BASELINE.md (no real cluster here). Timing is",
-        f"the per-query min over {rounds} alternating fresh-JVM rounds per",
-        f"level × {reps} in-JVM reps (cache cleared between reps) — the",
+        f"the per-query min over {len(runs_low)}/{len(runs_high)} fresh-JVM "
+        f"rounds (low/high level)",
+        f"× {reps} in-JVM warm reps each (cache cleared between reps) — the",
         "host is time-shared and steal-time arrives in multi-minute bursts,",
         "so minima estimate clean-window performance at each level.",
         "",
