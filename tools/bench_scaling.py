@@ -23,10 +23,28 @@ Usage: python tools/bench_scaling.py [low_cpus] [high_cpus] [n_areas] [reps]
 
 from __future__ import annotations
 
+import glob
+import hashlib
 import json
 import os
 import subprocess
 import sys
+
+
+def engine_fingerprint() -> str:
+    """Hash of every file whose code can affect a timing (the engine
+    package + bench harness + driver entry). Minima are merged only
+    across history entries with the SAME fingerprint, so doc/tooling
+    commits don't orphan prior evidence but any engine change does
+    (ADVICE r1, tightened from git-SHA keying)."""
+    h = hashlib.sha256()
+    files = sorted(glob.glob("osm_jigsaw_spark/**/*.py", recursive=True))
+    files += ["bench.py", "__spark_entry__.py"]
+    for p in files:
+        h.update(p.encode())
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:12]
 
 
 def run(cpus: int, n_areas: int, reps: int) -> dict:
@@ -66,10 +84,11 @@ def main():
     sha = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
         text=True).stdout.strip() or "unknown"
+    fp = engine_fingerprint()
 
     def record(r: dict, cpus: int) -> None:
         with open(hist_path, "a") as f:
-            f.write(json.dumps({"sha": sha, "cpus": cpus,
+            f.write(json.dumps({"sha": sha, "fp": fp, "cpus": cpus,
                                 "n_areas": n_areas,
                                 "queries": r["queries"],
                                 "extra": r["extra"]}) + "\n")
@@ -87,7 +106,7 @@ def main():
     if os.path.exists(hist_path):
         for line in open(hist_path):
             h = json.loads(line)
-            if h["n_areas"] != n_areas or h.get("sha") != sha:
+            if h["n_areas"] != n_areas or h.get("fp", h.get("sha")) not in (fp, sha):
                 continue
             entry = {"queries": h["queries"], "extra": h["extra"],
                      "value": 0, "sf": 0.1}
@@ -190,8 +209,10 @@ def main():
         f"| local[{high}] | {', '.join(f'{t:.2f}' for t in tot_high)} "
         f"| {med(tot_high):.2f} | {tot_high[0]:.2f} |",
         "",
-        f"Merged-minima evidence above folds in prior sessions **at git "
-        f"SHA {sha} only** — timings from older engine code are excluded.",
+        f"Merged-minima evidence above folds in prior sessions **at engine "
+        f"fingerprint {fp} only** (hash of the package + bench harness — "
+        f"recorded here at git SHA {sha}); timings from older engine code "
+        f"are excluded.",
         "",
         "Core total = the six partition-parallel engine queries (sub-second",
         "relational lookups excluded — they are latency-bound, not",
