@@ -93,6 +93,16 @@ def main():
                                 "queries": r["queries"],
                                 "extra": r["extra"]}) + "\n")
 
+    # snapshot prior-session history BEFORE running (this session's own
+    # record() appends would otherwise be folded in twice)
+    prior: list[dict] = []
+    if os.path.exists(hist_path):
+        for line in open(hist_path):
+            h = json.loads(line)
+            if h["n_areas"] != n_areas or h.get("fp", h.get("sha")) not in (fp, sha):
+                continue
+            prior.append(h)
+
     runs_low, runs_high = [], []
     for _ in range(rounds):
         r = run(low, n_areas, reps)
@@ -103,17 +113,13 @@ def main():
         runs_high.append(r)
 
     # fold in prior sessions at the same configuration AND engine version
-    if os.path.exists(hist_path):
-        for line in open(hist_path):
-            h = json.loads(line)
-            if h["n_areas"] != n_areas or h.get("fp", h.get("sha")) not in (fp, sha):
-                continue
-            entry = {"queries": h["queries"], "extra": h["extra"],
-                     "value": 0, "sf": 0.1}
-            if h["cpus"] == low:
-                runs_low.append(entry)
-            elif h["cpus"] == high:
-                runs_high.append(entry)
+    for h in prior:
+        entry = {"queries": h["queries"], "extra": h["extra"],
+                 "value": 0, "sf": 0.1}
+        if h["cpus"] == low:
+            runs_low.append(entry)
+        elif h["cpus"] == high:
+            runs_high.append(entry)
     if not runs_low or not runs_high:
         sys.exit(f"no history at sha={sha} n_areas={n_areas} for both "
                  f"cpus={low} and cpus={high}; run with rounds>0 first")
