@@ -28,6 +28,7 @@ embarrassingly partition-parallel, and never shuffle the corpus.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -342,8 +343,17 @@ def embedding_near_duplicates_exact(embeddings: DataFrame,
         kernel, "vec_a long, vec_b long, cos_sim double")
 
 
+MAX_CENTROIDS = 1 << 20  # hard cap on the collected quantizer (nlist)
+
+
+def auto_centroid_stride(n: int) -> int:
+    """ceil(sqrt(n)) — the stride that keeps nlist ~ sqrt(n) for any
+    corpus size, so the collected quantizer stays a bounded artifact."""
+    return max(1, math.isqrt(max(n - 1, 0)) + 1)
+
+
 def ivf_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5,
-             centroid_stride: int = 31, nprobe: int = 4) -> DataFrame:
+             centroid_stride: int | None = None, nprobe: int = 4) -> DataFrame:
     """(query_id, vec_id, cos_sim, rank) — IVF (inverted-file) approximate
     top-k: the coarse-quantizer scale path alongside lsh_topk.
 
@@ -351,9 +361,14 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5,
       1. centroids = rows with vec_id % centroid_stride == 0 — a
          deterministic stride sample standing in for k-means training
          (FAISS trains its quantizer on a bounded sample the same way).
-         Pick stride so nlist ~ sqrt(n); the collected centroid matrix
-         (nlist x dim doubles) is the bounded index artifact, broadcast
-         once — the corpus itself is never collected.
+         centroid_stride=None (the default) derives stride=ceil(sqrt(n))
+         from a corpus count() so nlist ~ sqrt(n) at ANY corpus size —
+         a fixed stride would make nlist (and the driver-collected
+         quantizer) grow linearly with the corpus. The collected centroid
+         matrix (nlist x dim doubles) is the bounded index artifact,
+         broadcast once — the corpus itself is never collected; a hard
+         MAX_CENTROIDS cap fails fast if an explicit stride would
+         collect an unbounded quantizer.
       2. every vector -> nearest centroid (max rounded cosine, tie ->
          lowest centroid id) via one BLAS matmul per Arrow batch.
 
@@ -374,9 +389,19 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5,
     map-only pass, and skewed cells bound at cell population — nlist
     ~ sqrt(n) keeps expected cell size ~ sqrt(n)."""
     spark = embeddings.sparkSession
+    if centroid_stride is None:
+        centroid_stride = auto_centroid_stride(embeddings.count())
+    # limit() bounds the driver transfer BEFORE collecting, so a too-small
+    # explicit stride fails fast instead of OOMing the driver
     cent_rows = (
         embeddings.filter(F.col("vec_id") % centroid_stride == 0)
-        .select("vec_id", "embedding").collect())
+        .select("vec_id", "embedding").limit(MAX_CENTROIDS + 1).collect())
+    if len(cent_rows) > MAX_CENTROIDS:
+        raise ValueError(
+            f"ivf_topk: centroid_stride={centroid_stride} selects more than "
+            f"MAX_CENTROIDS={MAX_CENTROIDS} centroids — the quantizer must "
+            f"stay a bounded driver artifact; raise centroid_stride (or "
+            f"pass None to derive ceil(sqrt(n)))")
     cent_rows.sort(key=lambda r: r.vec_id)
     c_ids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
     C = np.array([r.embedding for r in cent_rows], dtype=np.float64)

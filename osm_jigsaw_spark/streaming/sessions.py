@@ -45,14 +45,18 @@ def sessionize_batch(events: DataFrame,
     deterministic for any tie pattern.
     """
     # parquet feeds often carry TIMESTAMP_NTZ, which won't cast to long;
-    # session tz is pinned UTC so the timestamp cast is value-preserving
+    # session tz is pinned UTC so the timestamp cast is value-preserving.
+    # Gaps compare in MICROSECONDS (unix_micros) — whole-second truncation
+    # merges sessions whose gap is e.g. 14400.38 s when the threshold is
+    # 14400, diverging from the oracle's fractional epoch() and from the
+    # streaming twin.
     events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_s = gap_minutes * 60
-    ts_s = F.col("ts").cast("long")
-    prev = F.lag(ts_s).over(w)
+    gap_us = gap_minutes * 60 * 1_000_000
+    ts_us = F.unix_micros(F.col("ts"))
+    prev = F.lag(ts_us).over(w)
     new_sess = F.when(
-        prev.isNull() | (ts_s - prev > gap_s),
+        prev.isNull() | (ts_us - prev > gap_us),
         F.lit(1)).otherwise(F.lit(0))
     running = Window.partitionBy("user_id").orderBy("ts", "event_id") \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -80,16 +84,28 @@ _STATE_SCHEMA = T.StructType([
     T.StructField("start_us", T.LongType()),   # open-session start (epoch µs)
     T.StructField("last_us", T.LongType()),    # last event ts (epoch µs)
     T.StructField("n", T.LongType()),
-    T.StructField("total", T.DoubleType()),
+    T.StructField("total_micro", T.LongType()),  # value sum in 1e-6 units
 ])
 
 
-def _gap_split(ts_us: np.ndarray, vals: np.ndarray, gap_us: int,
-               carry: tuple[int, int, int, float] | None):
+def _round_half_up_4(total_micro: np.ndarray) -> np.ndarray:
+    """Micro-unit total → double rounded to 4 decimals, HALF_UP (away from
+    zero), matching Spark/DuckDB DECIMAL round — np.round's half-to-even
+    diverges on .00005 boundaries."""
+    tm = np.asarray(total_micro, np.int64)
+    sign = np.sign(tm)
+    return sign * ((np.abs(tm) + 50) // 100) / 1e4
+
+
+def _gap_split(ts_us: np.ndarray, vals_micro: np.ndarray, gap_us: int,
+               carry: tuple[int, int, int, int] | None):
     """Vectorized session splitter for one user's sorted events.
 
+    vals_micro are event values in integer micro-units (value × 1e6), so
+    accumulation is exact and matches the batch DECIMAL(18,6) sum.
     Returns (closed_sessions, open_carry) where closed_sessions is a list
-    of (start_us, end_us, n, total) and open_carry the trailing open one.
+    of (start_us, end_us, n, total_micro) and open_carry the trailing open
+    one.
     """
     sessions = []
     if carry is not None:
@@ -107,10 +123,14 @@ def _gap_split(ts_us: np.ndarray, vals: np.ndarray, gap_us: int,
     ends = np.concatenate((breaks, [len(ts_us)]))
     for i, (s, e) in enumerate(zip(starts, ends)):
         n = int(e - s)
-        tot = float(vals[s:e].sum())
+        tot = int(vals_micro[s:e].sum())
         st, en = int(ts_us[s]), int(ts_us[e - 1])
         if i == 0 and carry is not None:
             st = carry[0]
+            # a micro-batch is not guaranteed globally time-ordered vs the
+            # carried session — never let session_end regress below the
+            # carried last-event timestamp
+            en = max(en, carry[1])
             n += carry[2]
             tot += carry[3]
         if e == len(ts_us):  # trailing run stays open
@@ -136,9 +156,12 @@ def sessionize_stream(events: DataFrame,
         ts_parts, val_parts = [], []
         for pdf in pdfs:
             ts_parts.append(pdf["ts"].to_numpy("datetime64[us]").astype(np.int64))
-            val_parts.append(pdf["value"].to_numpy(np.float64))
+            # integer micro-units so stream accumulation is exact and agrees
+            # with the batch DECIMAL(18,6) sum bit-for-bit
+            val_parts.append(np.rint(
+                pdf["value"].to_numpy(np.float64) * 1e6).astype(np.int64))
         ts_us = np.concatenate(ts_parts) if ts_parts else np.array([], np.int64)
-        vals = np.concatenate(val_parts) if val_parts else np.array([], np.float64)
+        vals = np.concatenate(val_parts) if val_parts else np.array([], np.int64)
         order = np.argsort(ts_us, kind="stable")
         ts_us, vals = ts_us[order], vals[order]
 
@@ -156,8 +179,8 @@ def sessionize_stream(events: DataFrame,
                 "session_end": pd.to_datetime(
                     [c[1] for c in closed], unit="us"),
                 "n_events": np.array([c[2] for c in closed], np.int64),
-                "total_value": np.round(
-                    np.array([c[3] for c in closed], np.float64), 4),
+                "total_value": _round_half_up_4(
+                    np.array([c[3] for c in closed], np.int64)),
             })
 
     src = events.select("user_id", F.col("ts").cast("timestamp").alias("ts"),

@@ -106,6 +106,37 @@ def test_ivf_topk_matches_bruteforce_restricted(embeddings):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_ivf_auto_stride_keeps_nlist_sqrt_n():
+    """Default-safety at scale (VERDICT r2 #1): with no explicit stride the
+    quantizer is sized ceil(sqrt(n)), so nlist ~ sqrt(n) at ANY corpus
+    size — never linear in n."""
+    for n in (500, 10_000, 10**12):
+        stride = SIM.auto_centroid_stride(n)
+        nlist = n // stride + 1
+        import math
+        root = math.isqrt(n)
+        assert stride >= root, (n, stride)
+        assert nlist <= root + 2, f"nlist {nlist} not ~sqrt({n})"
+
+
+def test_ivf_default_stride_green_and_bounded(embeddings):
+    """ivf_topk with defaults (auto stride) runs end-to-end and obeys the
+    same brute-force-restricted contract; an explicit tiny stride beyond
+    the centroid cap fails fast instead of collecting unboundedly."""
+    ivf = SIM.ivf_topk(embeddings, n_queries=5, k=3, nprobe=4).collect()
+    assert len(ivf) > 0
+    bf = SIM.brute_force_topk(embeddings, n_queries=5, k=500).collect()
+    bf_sims = {(r.query_id, r.vec_id): r.cos_sim for r in bf}
+    for r in ivf:
+        assert (r.query_id, r.vec_id) in bf_sims
+        assert abs(bf_sims[(r.query_id, r.vec_id)] - r.cos_sim) < 1e-9
+
+    import unittest.mock as mock
+    with mock.patch.object(SIM, "MAX_CENTROIDS", 10):
+        with pytest.raises(ValueError, match="MAX_CENTROIDS"):
+            SIM.ivf_topk(embeddings, n_queries=5, k=3, centroid_stride=1)
+
+
 def test_ivf_recall_on_clustered_fixture(spark):
     """On clustered data (the regime IVF targets) probing enough cells to
     cover the query's own cluster recovers nearly all true neighbors.

@@ -7,8 +7,9 @@ levels) is ~half its local[16] runtime, which caps measured efficiency
 well below what the per-point work actually scales at. This tool times
 ONLY geocode, with a point set sized independently of the world, so the
 scalable per-point cost dominates — the quantity the north-rule
-efficiency claim is about. Appends to BENCH_HISTORY.jsonl via a
-distinct pseudo n_areas key (the point count), one JSON line to stdout.
+efficiency claim is about. Appends to BENCH_HISTORY.jsonl tagged
+`series: "geocode_heavy"` so bench_scaling's core-suite minima merge
+never folds these rows in, one JSON line to stdout.
 
 Usage: python tools/bench_geocode.py [cpus] [n_areas] [n_points] [reps]
 """
@@ -83,7 +84,9 @@ def main() -> None:
     with open("BENCH_HISTORY.jsonl", "a") as f:
         f.write(json.dumps({
             "sha": sha, "fp": engine_fingerprint(), "cpus": cpus,
-            "n_areas": n_points,  # distinct key: heavy-geocode series
+            "series": "geocode_heavy",  # excluded from core minima merge
+            "n_areas": n_points,
+            "sf": None,  # synthetic scaled world; no sf testdata involved
             "queries": {"geocode_heavy": out["geocode_sec"]},
             "extra": out}) + "\n")
     print(json.dumps(out))

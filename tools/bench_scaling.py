@@ -89,7 +89,8 @@ def main():
     def record(r: dict, cpus: int) -> None:
         with open(hist_path, "a") as f:
             f.write(json.dumps({"sha": sha, "fp": fp, "cpus": cpus,
-                                "n_areas": n_areas,
+                                "series": "core", "n_areas": n_areas,
+                                "sf": r.get("sf", 0.1),
                                 "queries": r["queries"],
                                 "extra": r["extra"]}) + "\n")
 
@@ -99,6 +100,13 @@ def main():
     if os.path.exists(hist_path):
         for line in open(hist_path):
             h = json.loads(line)
+            # only this tool's own series: explicit tag on new rows; legacy
+            # untagged rows qualify only if they carry core-suite queries
+            # (bench_geocode's heavy rows don't, by construction)
+            if h.get("series", "core") != "core":
+                continue
+            if not any(q in h.get("queries", {}) for q in CORE):
+                continue
             if h["n_areas"] != n_areas or h.get("fp", h.get("sha")) not in (fp, sha):
                 continue
             prior.append(h)
@@ -115,7 +123,7 @@ def main():
     # fold in prior sessions at the same configuration AND engine version
     for h in prior:
         entry = {"queries": h["queries"], "extra": h["extra"],
-                 "value": 0, "sf": 0.1}
+                 "value": 0, "sf": h.get("sf", 0.1)}
         if h["cpus"] == low:
             runs_low.append(entry)
         elif h["cpus"] == high:
