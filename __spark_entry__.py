@@ -257,6 +257,35 @@ def q_tile_graph(spark, sf_dir):
         F.count("*").alias("n"))
 
 
+def q_named_nodes(spark, sf_dir):
+    """S6 named-nodes writer (reference Main.scala:106-127)."""
+    return SD.extract_named_nodes(_fx(spark)["docs"])
+
+
+def q_json_nodes(spark, sf_dir):
+    """S9 JSON sink under the gate: render each area to its OutputNode
+    JSON, then parse the fields back OUT of the JSON string — proving the
+    rendered document carries the expected id/entities/children/area
+    through a JSON round-trip. Byte-exact formatting is pinned by
+    tests/test_json_sink.py goldens (cross-engine float rendering
+    differs, so the hash gate compares parsed values)."""
+    from osm_jigsaw_spark.sources import json_sink as JS
+    pipe = _fx(spark)["pipe"]
+    rendered = JS.render_nodes(pipe.areas, pipe.graph_edges, pipe.tags)
+    ents = F.from_json(
+        F.get_json_object("json", "$.entities"),
+        "array<struct<osmId:string,name:string>>")
+    return rendered.select(
+        F.get_json_object("json", "$.id").alias("id"),
+        F.size(ents).cast("long").alias("n_entities"),
+        F.concat_ws("|", F.transform(ents, lambda e: e["name"])).alias(
+            "names"),
+        F.get_json_object("json", "$.children").try_cast("long").alias(
+            "children"),
+        F.get_json_object("json", "$.area").try_cast("double").alias("area"),
+    )
+
+
 def q_span_roundtrip(spark, sf_dir):
     fx = _fx(spark)
     seq_in = SD.span_sequence(fx["docs"]).withColumnRenamed("seq", "seq_in")
@@ -523,6 +552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_walk": q_path_walk,
         "topo_depths": q_topo_depths,
         "tile_graph": q_tile_graph,
+        "named_nodes": q_named_nodes,
+        "json_nodes": q_json_nodes,
         "span_roundtrip": q_span_roundtrip,
         # relational operators (testdata)
         "agg_pricing": q_agg_pricing,
@@ -575,6 +606,8 @@ def oracle_sql() -> dict[str, str]:
         "path_walk": O.sql_path_walk(PATH_WALK_CHAIN),
         "topo_depths": O.sql_topo_depths(),
         "tile_graph": O.sql_tile_graph(),
+        "named_nodes": O.sql_named_nodes(),
+        "json_nodes": O.sql_json_nodes(),
         "span_roundtrip": O.sql_span_roundtrip(),
         "agg_pricing": O.SQL_AGG_PRICING,
         "revenue_by_nation": O.SQL_REVENUE_BY_NATION,

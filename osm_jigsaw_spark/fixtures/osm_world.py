@@ -264,8 +264,17 @@ def build_world() -> World:
                           [("name", f"Twin {wid}")]))
     w.expected_areas.append(_expected_from_ring("302W", ["302W", "303W"], dup_ring))
 
-    # a named node (nodes never become areas but do carry tags)
+    # named nodes (nodes never become areas but do carry tags) — exercise
+    # every branch of the hasName predicate for extractNamedNodes (S6):
+    # plain name, name:* prefix, addr:housename, and an unnamed negative
     w.nodes.append(Node(nid.next(), 51.5, -0.1, [("name", "A pub")]))
+    w.nodes.append(Node(nid.next(), 48.86, 2.35,
+                        [("name:fr", "Une boulangerie"),
+                         ("amenity", "bakery")]))
+    w.nodes.append(Node(nid.next(), 52.52, 13.4,
+                        [("addr:housename", "Altes Haus")]))
+    w.nodes.append(Node(nid.next(), 40.7, -74.0,
+                        [("amenity", "bench")]))  # unnamed: excluded
 
     # geocode probes: centers (bbox-PIP == polygon-PIP for these), plus
     # multi-path point in Fits and an ocean miss.

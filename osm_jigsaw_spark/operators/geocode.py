@@ -22,29 +22,13 @@ Batch formulation (points is a DataFrame — one query or millions):
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..functions import cells as C
-from ..functions.geometry import pip_col, points_in_ring
+from ..functions.geometry import pip_col
 from .containment import ROOT_ID, area_cell_index
-
-
-@F.pandas_udf(T.BooleanType())
-def _pip_udf(lat: pd.Series, lon: pd.Series,
-             lats: pd.Series, lons: pd.Series) -> pd.Series:
-    out = np.empty(len(lat), dtype=bool)
-    for i in range(len(lat)):
-        out[i] = bool(
-            points_in_ring(
-                np.array([lat.iloc[i]]), np.array([lon.iloc[i]]),
-                np.asarray(lats.iloc[i]), np.asarray(lons.iloc[i]),
-            )[0]
-        )
-    return pd.Series(out)
 
 
 def areas_containing_points(areas: DataFrame, points: DataFrame) -> DataFrame:

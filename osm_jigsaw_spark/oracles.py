@@ -94,6 +94,70 @@ FROM (
 """
 
 
+def sql_named_nodes() -> str:
+    """extractNamedNodes twin (Main.scala:106-127): named nodes only,
+    OutputNode(osm_id, lat, lon) shape."""
+    return f"""
+WITH {fix_docs_cte()}
+SELECT doc_id AS osm_id,
+       try_cast(split_part(geo, ',', 1) AS DOUBLE) AS lat,
+       try_cast(split_part(geo, ',', 2) AS DOUBLE) AS lon
+FROM (
+  SELECT doc_id,
+         substr(list_filter(spans, s -> s['kind'] = 'media'
+                AND s['media_ref'][1:4] = 'geo:')[1]['media_ref'], 5) AS geo
+  FROM fixdocs
+  WHERE doc_id LIKE '%N'
+    AND len(list_filter(spans, s -> s['kind'] = 'text'
+          AND (split_part(s['text'], '=', 1) = 'name'
+               OR s['text'] LIKE 'name:%'
+               OR split_part(s['text'], '=', 1) = 'addr:housename'))) > 0
+)
+"""
+
+
+def sql_json_nodes() -> str:
+    """Derivational twin of the JSON sink (sources/json_sink.py
+    render_nodes): re-derives per-area id / entity count / ordered entity
+    names / children / area from the fixture CTEs. The Spark side parses
+    these SAME fields back out of the rendered JSON string, so the gate
+    proves the sink's output carries exactly the expected content through
+    a JSON round-trip (byte-level formatting is pinned by pytest goldens
+    instead — cross-engine float rendering differs)."""
+    return f"""
+WITH {fix_docs_cte()}, {areas_cte()}, {EDGES_CTES},
+fnames AS (
+  SELECT d.doc_id,
+         max(CASE WHEN split_part(s['text'], '=', 1) = 'name:en'
+              THEN substr(s['text'], 9) END) AS name_en,
+         max(CASE WHEN split_part(s['text'], '=', 1) = 'name'
+              THEN substr(s['text'], 6) END) AS name_plain,
+         max(CASE WHEN split_part(s['text'], '=', 1) = 'addr:housename'
+              THEN substr(s['text'], 16) END) AS housename
+  FROM fixdocs d, UNNEST(d.spans) AS t(s)
+  WHERE s['kind'] = 'text'
+  GROUP BY d.doc_id
+),
+fent AS (
+  SELECT m.rid, m.canonical, m.area, m.member_osm_id,
+         coalesce(n.name_en, n.name_plain, n.housename, m.canonical) AS name
+  FROM (SELECT a.rid, a.osm_id AS canonical, a.area, u.osm_id AS member_osm_id
+        FROM fareas a, UNNEST(a.osm_ids) AS u(osm_id)) m
+  LEFT JOIN fnames n ON n.doc_id = m.member_osm_id
+),
+fchild AS (
+  SELECT pa, count(*) AS n_children FROM fedges WHERE pa <> -1 GROUP BY pa
+)
+SELECT e.canonical AS id,
+       count(*) AS n_entities,
+       string_agg(e.name, '|' ORDER BY e.member_osm_id, e.name) AS names,
+       coalesce(any_value(c.n_children), 0)::BIGINT AS children,
+       CAST(round(any_value(e.area), 9) AS DOUBLE) AS area
+FROM fent e LEFT JOIN fchild c ON c.pa = e.rid
+GROUP BY e.rid, e.canonical
+"""
+
+
 def sql_decode_way_stats() -> str:
     """(way_id, n_refs, is_closed) — decodes spans in OFFSET order (the
     scrambled array order must not matter: per-row invariant)."""

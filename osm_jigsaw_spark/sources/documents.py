@@ -165,6 +165,19 @@ def has_name(tags: Column) -> Column:
     )
 
 
+def extract_named_nodes(documents: DataFrame) -> DataFrame:
+    """(osm_id, lat, lon) for every NAMED node — the reference's
+    extractNamedNodes pass (osm-jigsaw-parser Main.scala:106-127: filter
+    hasName over the node stream, emit OutputNode(osmId, lat, lon),
+    outputnode.proto:3-6). The last stage writer (S6): one filter the scan
+    prunes on + a pure-codegen projection; no shuffle at any scale."""
+    nodes = decode_nodes(documents)
+    return nodes.filter(has_name(F.col("tags"))).select(
+        F.concat(F.col("node_id").cast("string"), F.lit("N")).alias("osm_id"),
+        "lat", "lon",
+    )
+
+
 def span_sequence(documents: DataFrame) -> DataFrame:
     """(doc_id, seq) with seq = offset-ordered (kind,text,media_ref) triples —
     the per-row invariant surface (input_hint: span-sequence equality)."""

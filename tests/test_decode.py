@@ -46,3 +46,17 @@ def test_span_roundtrip(docs, pipeline):
     ).count()
     assert bad == 0
     assert seq_out.count() == seq_in.count()
+
+
+def test_extract_named_nodes(docs):
+    """S6 named-nodes writer (reference Main.scala:106-127): only nodes
+    passing hasName, OutputNode(osm_id, lat, lon) shape, every predicate
+    branch (name / name:* / addr:housename) hit and the unnamed node out."""
+    rows = {r["osm_id"]: (r["lat"], r["lon"])
+            for r in D.extract_named_nodes(docs).collect()}
+    by_coord = {v: k for k, v in rows.items()}
+    assert (51.5, -0.1) in by_coord          # plain name
+    assert (48.86, 2.35) in by_coord         # name:fr
+    assert (52.52, 13.4) in by_coord         # addr:housename
+    assert (40.7, -74.0) not in by_coord     # unnamed bench excluded
+    assert all(k.endswith("N") for k in rows)
