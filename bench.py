@@ -59,6 +59,7 @@ from osm_jigsaw_spark.fixtures.scaled_docs import (  # noqa: E402
     scaled_text_docs,
 )
 from osm_jigsaw_spark.operators.containment import (  # noqa: E402
+    area_cell_index,
     contains_pairs,
     graph_edges,
 )
@@ -110,8 +111,19 @@ def main():
     timed("pipeline_areas", f_pipeline)
     areas = state["areas"]
 
+    # the ONE spatial index: built+materialized once per areas snapshot
+    # (timed as its own suite entry), then shared by the containment,
+    # geocode and kNN consumers — the architecture a 100 TB run uses
+    # (index = an Iceberg-snapshot artifact, not a per-query rebuild)
+    def f_cell_index():
+        state["idx"] = area_cell_index(areas).localCheckpoint(eager=True)
+        return {"n_index_cells": state["idx"].count()}
+
+    timed("cell_index", f_cell_index)
+    idx = state["idx"]
+
     def f_containment():
-        pairs = contains_pairs(areas).localCheckpoint(eager=True)
+        pairs = contains_pairs(areas, idx=idx).localCheckpoint(eager=True)
         state["edges"] = graph_edges(areas, pairs).localCheckpoint(eager=True)
         n = state["edges"].count()
         return {
@@ -136,7 +148,8 @@ def main():
     ).localCheckpoint(eager=True)
 
     def f_geocode():
-        return {"n_geocode_paths": geocode(areas, edges, pts).count()}
+        return {"n_geocode_paths":
+                geocode(areas, edges, pts, idx=idx).count()}
 
     timed("geocode_batch", f_geocode)
     extra["geocode_lookups_per_sec"] = round(

@@ -99,14 +99,18 @@ def _contains_udf(parent_key: pd.Series,
     return pd.Series(out)
 
 
-def contains_pairs(areas: DataFrame) -> DataFrame:
+def contains_pairs(areas: DataFrame,
+                   idx: DataFrame | None = None) -> DataFrame:
     """(parent_key, child_key) for every strict containment a ⊃ b.
 
     `areas` must be deduplicated (operators/areas.dedup_areas) so no two
     distinct rows are geometrically equal — guaranteeing strictness and an
-    acyclic relation.
+    acyclic relation. `idx`: optional pre-materialized area_cell_index
+    (shared across containment/geocode/kNN consumers of one snapshot).
     """
-    parents = area_cell_index(areas).select(
+    if idx is None:
+        idx = area_cell_index(areas)
+    parents = idx.select(
         F.col("cell"),
         F.col("area_key").alias("parent_key"),
         F.col("canonical_osm_id").alias("parent_osm_id"),

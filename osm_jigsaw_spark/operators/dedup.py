@@ -153,17 +153,25 @@ def lsh_candidates(signatures: DataFrame,
     boilerplate-heavy corpus can put millions of docs on one band key, and
     AQE skew-join only rebalances the shuffle — it cannot prevent the
     O(n²) pair explosion itself. lsh_oversized_buckets() reports what was
-    skipped (no silent truncation)."""
+    skipped (no silent truncation).
+
+    The cap is a WINDOW count over the single (band,key) exchange rather
+    than a separate groupBy+join: the signature md5 chain (the expensive
+    subtree) is computed once and shuffled once, and both self-join
+    branches read that same exchange back (ReuseExchange — the groupBy
+    formulation's partial-agg exchange differs from the join exchange, so
+    it forced a second full signature pass)."""
+    from pyspark.sql import Window
     bands = _minhash_bands(signatures)
-    small = (bands.groupBy("band", "key")
-             .agg(F.count("*").alias("bucket_n"))
-             .filter(F.col("bucket_n") <= max_bucket)
-             .select("band", "key"))
-    bands_ok = bands.join(small, ["band", "key"])
-    other = bands_ok.select(
+    w = Window.partitionBy("band", "key")
+    flagged = (bands
+               .withColumn("bucket_n", F.count("*").over(w))
+               .filter(F.col("bucket_n") <= max_bucket)
+               .select("doc_id", "band", "key"))
+    other = flagged.select(
         F.col("doc_id").alias("doc_b"), F.col("band"), F.col("key"))
     return (
-        bands_ok.join(other, ["band", "key"])
+        flagged.join(other, ["band", "key"])
         .filter(F.col("doc_id") < F.col("doc_b"))
         .select(F.col("doc_id").alias("doc_a"), "doc_b")
         .distinct()

@@ -31,10 +31,17 @@ from ..functions.geometry import pip_col
 from .containment import ROOT_ID, area_cell_index
 
 
-def areas_containing_points(areas: DataFrame, points: DataFrame) -> DataFrame:
+def areas_containing_points(areas: DataFrame, points: DataFrame,
+                            idx: DataFrame | None = None) -> DataFrame:
     """(point_id, lat, lon, area_key, canonical_osm_id, area) for every area
-    whose polygon contains the point (boundary-inclusive)."""
-    idx = area_cell_index(areas)
+    whose polygon contains the point (boundary-inclusive).
+
+    `idx` lets callers pass a pre-materialized area_cell_index — the one
+    spatial index is shared by containment/geocode/kNN/tiling, so a suite
+    (or a long-lived service) builds it once per areas snapshot instead of
+    re-deriving the explode per consumer."""
+    if idx is None:
+        idx = area_cell_index(areas)
     pts = points.select(
         "point_id", "lat", "lon",
         F.explode(C.point_cells_all_res(F.col("lat"), F.col("lon"))).alias("cell"),
@@ -204,16 +211,16 @@ def geocode_paths_grouped(edges: DataFrame, containing: DataFrame) -> DataFrame:
 
 
 def geocode(areas: DataFrame, edges: DataFrame, points: DataFrame,
-            grouped: bool = True) -> DataFrame:
+            grouped: bool = True, idx: DataFrame | None = None) -> DataFrame:
     """points(point_id, lat, lon) → (point_id, path) rows.
 
     grouped=True (default): single-pass grouped enumeration (fast path).
     grouped=False: the level-iterated join formulation (kept for parity
-    testing; same output)."""
+    testing; same output). `idx`: optional shared area_cell_index."""
     # materialize once: `containing` feeds three join branches (child
     # membership, parent membership, path grouping) — without this the
     # candidate join + PIP would re-run per consumer
-    containing = areas_containing_points(areas, points) \
+    containing = areas_containing_points(areas, points, idx=idx) \
         .localCheckpoint(eager=True)
     if grouped:
         return geocode_paths_grouped(edges, containing)

@@ -82,9 +82,11 @@ def _point_ring_distance(area_key: pd.Series, lat: pd.Series, lon: pd.Series,
 
 
 def knn_areas(areas: DataFrame, points: DataFrame, k: int = 5,
-              ring: int = 1) -> DataFrame:
-    """(point_id, canonical_osm_id, distance, rank) — k nearest areas."""
-    idx = area_cell_index(areas)
+              ring: int = 1, idx: DataFrame | None = None) -> DataFrame:
+    """(point_id, canonical_osm_id, distance, rank) — k nearest areas.
+    `idx`: optional shared pre-materialized area_cell_index."""
+    if idx is None:
+        idx = area_cell_index(areas)
     pts = points.select(
         "point_id", "lat", "lon",
         F.explode(_kring_cells(F.col("lat"), F.col("lon"), ring)).alias("cell"),

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from osm_jigsaw_spark.fixtures.scaled_docs import scaled_documents_df  # noqa: E402
 from osm_jigsaw_spark.operators.containment import (  # noqa: E402
+    area_cell_index,
     contains_pairs,
     graph_edges,
 )
@@ -51,7 +52,8 @@ def main() -> None:
     docs = scaled_documents_df(spark, n_areas).localCheckpoint(eager=True)
     pipe = run_pipeline(docs, cache=False, has_relations=False)
     areas = pipe.areas.localCheckpoint(eager=True)
-    pairs = contains_pairs(areas).localCheckpoint(eager=True)
+    idx = area_cell_index(areas).localCheckpoint(eager=True)
+    pairs = contains_pairs(areas, idx=idx).localCheckpoint(eager=True)
     edges = graph_edges(areas, pairs).localCheckpoint(eager=True)
 
     # same deterministic columnar point generator as bench.py — identical
@@ -68,7 +70,7 @@ def main() -> None:
     for _ in range(reps):
         spark.catalog.clearCache()
         t0 = time.time()
-        n_paths = geocode(areas, edges, pts).count()
+        n_paths = geocode(areas, edges, pts, idx=idx).count()
         dt = time.time() - t0
         if best is None or dt < best:
             best = dt

@@ -60,8 +60,9 @@ def run(cpus: int, n_areas: int, reps: int) -> dict:
     return json.loads(out)
 
 
-CORE = ("pipeline_areas", "containment_graph", "geocode_batch",
-        "tile_assignments", "minhash_scaled", "cosine_scaled")
+CORE = ("pipeline_areas", "cell_index", "containment_graph",
+        "geocode_batch", "tile_assignments", "minhash_scaled",
+        "cosine_scaled")
 
 
 def main():
