@@ -18,6 +18,7 @@ values after sorting columns by name).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -511,9 +512,14 @@ def q_ivf_topk(spark, sf_dir):
 # contract surface
 # ---------------------------------------------------------------------------
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: training-data quality + near-dup report over sf0.001 docs."""
-    sf_dir = "/root/testdata/sf0.001"
+def entry(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Flagship: training-data quality + near-dup report over sf0.001 docs.
+
+    The driver calls entry(spark); sf_dir is overridable positionally or via
+    SPARK_GRAFT_ENTRY_SF_DIR so a relocated testdata tree needs no edit."""
+    if sf_dir is None:
+        sf_dir = os.environ.get("SPARK_GRAFT_ENTRY_SF_DIR",
+                                "/root/testdata/sf0.001")
     docs = _t(spark, sf_dir, "documents")
     quality = TX.quality_scores(docs)
     lang = TX.language_id(docs)

@@ -278,18 +278,23 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
     )
 
 
-def _simhash_chunks(sigs: DataFrame) -> DataFrame:
-    """(doc_id, simhash, c, v) — signature split into SIMHASH_CHUNKS
-    equality chunks.
+def _simhash_chunks(sigs: DataFrame,
+                    n_chunks: int = SIMHASH_CHUNKS) -> DataFrame:
+    """(doc_id, simhash, c, v) — signature split into n_chunks equality
+    chunks.
 
     NOTE on recall: chunk-equality banding guarantees finding every pair
-    with hamming ≤ SIMHASH_CHUNKS - 1 (pigeonhole: ≤3 flipped bits cannot
-    touch all 4 chunks). Callers passing max_hamming above that are
-    getting best-effort recall in (CHUNKS-1, max_hamming] — pairs whose
-    flips spread across all chunks are missed. The DuckDB oracle mirrors
-    the same candidate rule, so the gate checks implementation parity,
-    not absolute recall."""
-    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    with hamming ≤ n_chunks - 1 (pigeonhole: ≤ n_chunks-1 flipped bits
+    cannot touch all n_chunks chunks). Callers passing max_hamming above
+    that are getting best-effort recall in (n_chunks-1, max_hamming] —
+    pairs whose flips spread across all chunks are missed. Default 4 chunks
+    (12-bit, guaranteed ≤3); n_chunks=8 (6-bit) raises the guarantee to
+    hamming ≤7 at the cost of 2x the banding exchange and coarser (more
+    populated) buckets. The DuckDB oracle mirrors the same candidate rule,
+    so the gate checks implementation parity, not absolute recall."""
+    if SIMHASH_BITS % n_chunks:
+        raise ValueError(f"n_chunks must divide {SIMHASH_BITS}")
+    chunk_bits = SIMHASH_BITS // n_chunks
     return sigs.select(
         "doc_id", "simhash",
         F.explode(
@@ -299,7 +304,7 @@ def _simhash_chunks(sigs: DataFrame) -> DataFrame:
                     F.shiftright(F.col("simhash"), c * chunk_bits)
                     .bitwiseAND((1 << chunk_bits) - 1).alias("v"),
                 )
-                for c in range(SIMHASH_CHUNKS)
+                for c in range(n_chunks)
             ])
         ).alias("ch"),
     ).select("doc_id", "simhash", "ch.c", "ch.v")
@@ -307,14 +312,16 @@ def _simhash_chunks(sigs: DataFrame) -> DataFrame:
 
 def simhash_near_duplicates(documents: DataFrame,
                             max_hamming: int = 6,
-                            max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
+                            max_bucket: int = LSH_MAX_BUCKET,
+                            n_chunks: int = SIMHASH_CHUNKS) -> DataFrame:
     """(doc_a, doc_b, hamming) — pairs within Hamming distance, candidates
-    from 12-bit chunk equality (any identical chunk ⇒ candidate).
+    from chunk equality (any identical chunk ⇒ candidate).
 
     Chunk buckets larger than max_bucket are excluded (same O(n²)
-    guard as lsh_candidates); simhash_oversized_buckets() discloses."""
+    guard as lsh_candidates); simhash_oversized_buckets() discloses.
+    n_chunks=8 guarantees recall for hamming ≤ 7 (see _simhash_chunks)."""
     sigs = simhash_signatures(documents)
-    chunks = _simhash_chunks(sigs)
+    chunks = _simhash_chunks(sigs, n_chunks)
     small = (chunks.groupBy("c", "v")
              .agg(F.count("*").alias("bucket_n"))
              .filter(F.col("bucket_n") <= max_bucket)
@@ -340,9 +347,10 @@ def simhash_near_duplicates(documents: DataFrame,
 
 
 def simhash_oversized_buckets(documents: DataFrame,
-                              max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
+                              max_bucket: int = LSH_MAX_BUCKET,
+                              n_chunks: int = SIMHASH_CHUNKS) -> DataFrame:
     """(c, v, bucket_n) chunk buckets simhash_near_duplicates skipped."""
-    return (_simhash_chunks(simhash_signatures(documents))
+    return (_simhash_chunks(simhash_signatures(documents), n_chunks)
             .groupBy("c", "v")
             .agg(F.count("*").alias("bucket_n"))
             .filter(F.col("bucket_n") > max_bucket))

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import cells as C
-from ..functions.geometry import ring_intersects_rects_batch
+from ..functions.geometry import is_axis_rect_col, ring_intersects_rects_batch
 from .containment import ROOT_ID
 
 
@@ -60,8 +60,19 @@ def tile_assignments(spark: SparkSession, areas: DataFrame,
         F.col("min_lat").alias("t_min_lat"), F.col("min_lon").alias("t_min_lon"),
         F.col("max_lat").alias("t_max_lat"), F.col("max_lon").alias("t_max_lon"),
     )
+    # same is_rect definition as containment.area_cell_index: ring == its
+    # bbox (4-corner axis rect, shoelace area == bbox area) ⇒ the bbox
+    # rect-overlap test IS the exact geometry test
+    bbox_area_eq = F.abs(
+        (F.col("bbox.max_lat") - F.col("bbox.min_lat"))
+        * (F.col("bbox.max_lon") - F.col("bbox.min_lon"))
+        - F.col("area")
+    ) <= F.lit(1e-9) * F.greatest(F.col("area"), F.lit(1.0))
     covered = areas.select(
-        F.col("ring_hash").alias("area_key"), "canonical_osm_id", "lats", "lons",
+        F.col("ring_hash").alias("area_key"), "canonical_osm_id",
+        "lats", "lons", "bbox",
+        (is_axis_rect_col(F.col("lats"), F.col("lons"), F.col("bbox"))
+         & bbox_area_eq).alias("is_rect"),
         F.explode(C.covering_cells_at(F.col("bbox"), res)).alias("cell"),
     )
     # tiles is tiny (≤32k rows) — broadcast; covering join prunes to
@@ -73,14 +84,43 @@ def tile_assignments(spark: SparkSession, areas: DataFrame,
     # and the refinement consistent. Deviation from esri areasIntersect
     # (touch counts there) documented; reference tests don't pin touch cases.
     eps = 1e-9
-    hit = cand.sortWithinPartitions("area_key").withColumn(
+    s_min_lat = F.col("t_min_lat") + eps
+    s_min_lon = F.col("t_min_lon") + eps
+    s_max_lat = F.col("t_max_lat") - eps
+    s_max_lon = F.col("t_max_lon") - eps
+    bbox_overlap = (
+        (F.col("bbox.max_lat") >= s_min_lat)
+        & (F.col("bbox.min_lat") <= s_max_lat)
+        & (F.col("bbox.max_lon") >= s_min_lon)
+        & (F.col("bbox.min_lon") <= s_max_lon)
+    )
+    bbox_inside = (
+        (F.col("bbox.min_lat") >= s_min_lat)
+        & (F.col("bbox.max_lat") <= s_max_lat)
+        & (F.col("bbox.min_lon") >= s_min_lon)
+        & (F.col("bbox.max_lon") <= s_max_lon)
+    )
+    # pure-codegen decisions (the common case — most areas are small, so
+    # their bbox sits inside the one tile the covering join produced):
+    #   no bbox overlap with the shrunk rect  → cannot intersect (false)
+    #   axis-rect ring                        → bbox overlap IS the answer
+    #   bbox fully inside the shrunk rect     → polygon ⊆ bbox ⇒ intersects
+    # only boundary-straddling true polygons reach the Arrow kernel.
+    cand = cand.withColumn(
+        "decided",
+        F.when(~bbox_overlap, F.lit(False))
+        .when(F.col("is_rect") | bbox_inside, F.lit(True)),
+    )
+    undecided = cand.filter(F.col("decided").isNull())
+    hit_fast = cand.filter(F.col("decided")).select(
+        "tile_id", "area_key", "canonical_osm_id")
+    hit_kernel = undecided.sortWithinPartitions("area_key").withColumn(
         "touches",
         _intersects_rect_udf(
             "area_key", "lats", "lons",
-            F.col("t_min_lat") + eps, F.col("t_min_lon") + eps,
-            F.col("t_max_lat") - eps, F.col("t_max_lon") - eps),
-    ).filter("touches")
-    return hit.select("tile_id", "area_key", "canonical_osm_id")
+            s_min_lat, s_min_lon, s_max_lat, s_max_lon),
+    ).filter("touches").select("tile_id", "area_key", "canonical_osm_id")
+    return hit_fast.unionByName(hit_kernel)
 
 
 def tile_graph(edges: DataFrame, assignments: DataFrame) -> DataFrame:

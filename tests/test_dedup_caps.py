@@ -52,3 +52,36 @@ def test_simhash_hot_bucket_capped(spark):
     over = D.simhash_oversized_buckets(docs, max_bucket=100).collect()
     assert len(over) == D.SIMHASH_CHUNKS
     assert all(r.bucket_n == 2_000 for r in over)
+
+
+def test_simhash_8_chunk_banding(spark):
+    """n_chunks=8 (6-bit chunks): candidate recall is guaranteed for
+    hamming <= 7 (pigeonhole), so the 8-chunk pair set at max_hamming=7
+    must be a superset of the default 4-chunk set (guaranteed only <=3),
+    and be exactly the brute-force pair set at that distance."""
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("shared core words alpha beta gamma delta epsilon "),
+                 F.when(F.col("id") % 3 == 0, F.lit("zeta eta theta"))
+                 .otherwise(F.lit("iota kappa")),
+                 F.lit(" tail variant "),
+                 (F.col("id") % 17).cast("string")).alias("text"),
+    )
+    sigs = D.simhash_signatures(docs).localCheckpoint(eager=True)
+    a = sigs.select(F.col("doc_id").alias("doc_a"),
+                    F.col("simhash").alias("sim_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"),
+                    F.col("simhash").alias("sim_b"))
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("h", F.bit_count(
+            F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("h") <= 7).collect()
+    }
+    p8 = {(r.doc_a, r.doc_b) for r in D.simhash_near_duplicates(
+        docs, max_hamming=7, max_bucket=10**9, n_chunks=8).collect()}
+    p4 = {(r.doc_a, r.doc_b) for r in D.simhash_near_duplicates(
+        docs, max_hamming=7, max_bucket=10**9).collect()}
+    assert p8 == brute  # 8 chunks: complete at hamming <= 7
+    assert p4 <= p8     # 4 chunks: best-effort subset above hamming 3
