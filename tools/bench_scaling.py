@@ -244,6 +244,10 @@ def main():
         json.dumps(r_high),
         "```",
     ]
+    # auxiliary evidence (heavy-geocode runs, methodology appendix) lives in
+    # BENCH_APPENDIX.md so regenerating the core tables never drops it
+    if os.path.exists("BENCH_APPENDIX.md"):
+        lines += ["", open("BENCH_APPENDIX.md").read().rstrip()]
     with open("BENCH.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps({"low": core_low, "high": core_high,
