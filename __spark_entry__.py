@@ -180,6 +180,29 @@ def q_ways_used(spark, sf_dir):
     return OA.used_way_ids(OA.outline_way_refs(pipe.ways, pipe.relations))
 
 
+def q_areastats(spark, sf_dir):
+    """areastats CLI verb (reference Main.scala:93-104): the resolved-area →
+    way-id dump, as distinct (area osm_id, |way_id|) rows."""
+    pipe = _fx(spark)["pipe"]
+    refs = OA.outline_way_refs(pipe.ways, pipe.relations)
+    return (refs.select("osm_id", F.explode("way_ids").alias("signed"))
+            .select("osm_id", F.abs(F.col("signed")).alias("way_id"))
+            .distinct())
+
+
+TAGS_FOR_IDS = ("200R", "100W", "10278N", "10279N")
+
+
+def q_tags_for(spark, sf_dir):
+    """J11 standalone — the API /tags?osm_id= route (conf/routes:4): tag
+    lookup for a literal id set, exploded to rows."""
+    pipe = _fx(spark)["pipe"]
+    ids = spark.createDataFrame([(i,) for i in TAGS_FOR_IDS],
+                                "osm_id string")
+    return (pipe.tags.join(F.broadcast(ids), "osm_id")
+            .select("osm_id", F.explode("tags").alias("k", "v")))
+
+
 def q_way_points_stats(spark, sf_dir):
     """S-layer OutputWay analog — per used way, resolved point stats."""
     pipe = _fx(spark)["pipe"]
@@ -508,6 +531,15 @@ def q_ivf_topk(spark, sf_dir):
                         nprobe=4)
 
 
+def q_ivf_topk_auto(spark, sf_dir):
+    """IVF DEFAULT path: centroid_stride=None → stride=ceil(sqrt(n)) derived
+    from a corpus count — the path users get without pinning parameters
+    (the oracle derives the same stride in SQL)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, n_queries=20, k=5, centroid_stride=None,
+                        nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -553,6 +585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ring_counts": q_ring_counts,
         "area_tags": q_area_tags,
         "ways_used": q_ways_used,
+        "areastats": q_areastats,
+        "tags_for": q_tags_for,
         "way_points_stats": q_way_points_stats,
         "all_paths": q_all_paths,
         "path_walk": q_path_walk,
@@ -588,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "media_resize": q_media_resize,
         "ivf_topk": q_ivf_topk,
+        "ivf_topk_auto": q_ivf_topk_auto,
     }
 
 
@@ -607,6 +642,8 @@ def oracle_sql() -> dict[str, str]:
         "ring_counts": O.sql_ring_counts(),
         "area_tags": O.sql_area_tags(),
         "ways_used": O.sql_ways_used(),
+        "areastats": O.sql_areastats(),
+        "tags_for": O.sql_tags_for(TAGS_FOR_IDS),
         "way_points_stats": O.sql_way_points_stats(),
         "all_paths": O.sql_all_paths(),
         "path_walk": O.sql_path_walk(PATH_WALK_CHAIN),
@@ -640,4 +677,5 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": O.SQL_FRAME_SAMPLE,
         "media_resize": O.sql_media_resize(32),
         "ivf_topk": O.sql_ivf_topk(20, 5, 31, 4),
+        "ivf_topk_auto": O.sql_ivf_topk(20, 5, None, 4),
     }

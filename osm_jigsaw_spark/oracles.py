@@ -431,6 +431,42 @@ SELECT way_id FROM fways_used
 """
 
 
+def sql_areastats() -> str:
+    """areastats CLI verb (reference Main.scala:93-104): one (area osm_id,
+    |way_id|) row per way composing a resolved area outline. Closed named
+    ways map to themselves; named expandable relations to their recursive
+    outer-role way members. Sound for the fixture because every stitched
+    fixture ring closes (no ways dropped by the closure test — see the
+    WAYS_USED_CTES note)."""
+    return f"""
+WITH RECURSIVE {fix_docs_cte()},
+{WAYS_USED_CTES}
+SELECT way_id || 'W' AS osm_id, way_id FROM closed_named_ways
+UNION
+SELECT DISTINCT w.root || 'R' AS osm_id,
+       try_cast(split_part(substr(m['media_ref'], 5), '#', 1) AS BIGINT)
+         AS way_id
+FROM owalk w JOIN rels r ON r.rel_id = w.cur,
+     UNNEST(r.spans) AS t(m)
+WHERE m['kind'] = 'media' AND m['media_ref'] LIKE 'way:%'
+  AND split_part(m['media_ref'], '#', 2) = 'outer'
+"""
+
+
+def sql_tags_for(osm_ids: tuple[str, ...]) -> str:
+    """J11 standalone — the API /tags?osm_id= route (conf/routes:4):
+    tag rows for a literal id set."""
+    ids = ", ".join(f"'{i}'" for i in osm_ids)
+    return f"""
+WITH {fix_docs_cte()}
+SELECT d.doc_id AS osm_id,
+       split_part(s['text'], '=', 1) AS k,
+       substr(s['text'], length(split_part(s['text'], '=', 1)) + 2) AS v
+FROM fixdocs d, UNNEST(d.spans) AS t(s)
+WHERE s['kind'] = 'text' AND d.doc_id IN ({ids})
+"""
+
+
 def sql_way_points_stats() -> str:
     """S-layer OutputWay analog: per used way, resolved point stats."""
     return f"""
@@ -785,19 +821,28 @@ SELECT query_id, vec_id, cos_sim, rank FROM (
 
 
 def sql_ivf_topk(n_queries: int = 20, k: int = 5,
-                 centroid_stride: int = 31, nprobe: int = 4) -> str:
+                 centroid_stride: int | None = 31, nprobe: int = 4) -> str:
     """Derivational twin of operators/similarity.ivf_topk: stride-sampled
     centroids, nearest-centroid assignment (rounded cosine, tie -> lowest
     centroid id), nprobe probed cells per query, exact cosine within the
-    probed cells."""
+    probed cells. centroid_stride=None mirrors the engine's DEFAULT path
+    (similarity.auto_centroid_stride): stride = ceil(sqrt(corpus count)),
+    derived here in SQL so the oracle is independent of the corpus size."""
     cos = ("round(list_dot_product(e.embedding::DOUBLE[], c.cv)"
            " / (sqrt(list_dot_product(e.embedding::DOUBLE[],"
            " e.embedding::DOUBLE[])) * sqrt(list_dot_product(c.cv, c.cv)))"
            ", 6)")
+    if centroid_stride is None:
+        stride_cte = ("stride AS (\n  SELECT CAST(ceil(sqrt(count(*)::DOUBLE))"
+                      " AS BIGINT) AS s FROM embeddings),\n")
+        stride = "(SELECT s FROM stride)"
+    else:
+        stride_cte = ""
+        stride = str(centroid_stride)
     return f"""
-WITH cent AS (
+WITH {stride_cte}cent AS (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-  FROM embeddings WHERE vec_id % {centroid_stride} = 0),
+  FROM embeddings WHERE vec_id % {stride} = 0),
 assign AS (
   SELECT vec_id, cid AS cell FROM (
     SELECT e.vec_id, c.cid,

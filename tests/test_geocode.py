@@ -100,3 +100,21 @@ def test_write_tiled_segments(spark, pipeline, tmp_path):
         F.col("tile_id") == some_tile)
     expect = assign.filter(F.col("tile_id") == some_tile).count()
     assert pruned.count() == expect
+
+
+def test_geocode_grouped_vs_iterated_parity(pipeline, qpoints):
+    """The two path-enumeration formulations — single-pass grouped
+    mapInPandas (the fast path) and the level-iterated join variant
+    (geocode.geocode_paths) — must produce identical row multisets, so the
+    formulations cannot drift (VERDICT r3 next-round item 8)."""
+    fast = geocode(pipeline.areas, pipeline.graph_edges, qpoints,
+                   grouped=True)
+    slow = geocode(pipeline.areas, pipeline.graph_edges, qpoints,
+                   grouped=False)
+
+    def norm(df):
+        return sorted(
+            (r["point_id"], tuple(r["path"]), tuple(r["path_keys"]))
+            for r in df.collect())
+
+    assert norm(fast) == norm(slow)

@@ -108,7 +108,16 @@ def main():
                 continue
             if not any(q in h.get("queries", {}) for q in CORE):
                 continue
-            if h["n_areas"] != n_areas or h.get("fp", h.get("sha")) not in (fp, sha):
+            if h["n_areas"] != n_areas:
+                continue
+            # strict fingerprint match for rows that carry one (rows
+            # recorded at this commit but with uncommitted engine edits
+            # have a different fp and must not fold in); the git-SHA
+            # fallback applies only to legacy rows lacking fp (ADVICE r3)
+            if "fp" in h:
+                if h["fp"] != fp:
+                    continue
+            elif h.get("sha") != sha:
                 continue
             prior.append(h)
 
@@ -215,7 +224,10 @@ def main():
         f"| geocode lookups/sec | {r_low['extra']['geocode_lookups_per_sec']} "
         f"| {r_high['extra']['geocode_lookups_per_sec']} |",
         "",
-        "## Per-round end-to-end core totals (this session, no minima merge)",
+        ("## Per-round end-to-end core totals (this session, no minima "
+         "merge)" if rounds else
+         "## Per-round end-to-end core totals (all rounds at this engine "
+         "fingerprint, no minima merge)"),
         "",
         f"| level | rounds (sec, sorted) | median | min |",
         "|---|---|---|---|",
@@ -229,10 +241,11 @@ def main():
         f"recorded here at git SHA {sha}); timings from older engine code "
         f"are excluded.",
         "",
-        "Core total = the six partition-parallel engine queries (sub-second",
-        "relational lookups excluded — they are latency-bound, not",
-        "throughput-bound, and a 4x core grant cannot speed up a 0.4 s",
-        "metadata-dominated job). Local-mode strong scaling on a fixed-size",
+        f"Core total = the {len(CORE)} partition-parallel engine queries.",
+        "The remaining suite entries are excluded because their runtime is",
+        "dominated by fixed latency (plan compile, tiny result sets), not",
+        "partition-parallel task work — a 4x core grant cannot speed up a",
+        "latency-bound job. Local-mode strong scaling on a fixed-size",
         "problem is the harshest proxy: every fixed cost (driver-side plan",
         "compile, Python worker spin-up, single shared JVM heap/GC) is paid",
         "identically at both levels, whereas real N->4N executors add heap,",
