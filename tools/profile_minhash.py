@@ -1,6 +1,6 @@
 """Ad-hoc: decompose minhash_near_duplicates wall time into its three
-barriered phases (arrays checkpoint / candidates checkpoint / verify) at
-one parallelism level. Usage: python tools/profile_minhash.py [cpus] [n_docs]
+barriered phases (arrays checkpoint / candidates checkpoint / verify).
+Usage: python tools/profile_minhash.py [cpus] [n_docs] [reps]
 """
 from __future__ import annotations
 
