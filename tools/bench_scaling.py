@@ -224,6 +224,66 @@ def main():
         f"| geocode lookups/sec | {r_low['extra']['geocode_lookups_per_sec']} "
         f"| {r_high['extra']['geocode_lookups_per_sec']} |",
         "",
+    ]
+
+    # scale sweep: the north rule's efficiency claim must hold as the
+    # problem grows, not at one size. For every problem size with rounds
+    # at BOTH levels at the current fingerprint, report the merged-minima
+    # core efficiency and the key per-query efficiencies side by side.
+    by_size: dict[int, dict[int, list[dict]]] = {}
+    if os.path.exists(hist_path):
+        for line in open(hist_path):
+            h = json.loads(line)
+            if h.get("series", "core") != "core":
+                continue
+            if h.get("fp") != fp:
+                continue
+            if h["cpus"] not in (low, high):
+                continue
+            by_size.setdefault(h["n_areas"], {}).setdefault(
+                h["cpus"], []).append(
+                {"queries": h["queries"], "extra": h["extra"],
+                 "value": 0, "sf": h.get("sf", 0.1)})
+    sweep_sizes = sorted(s for s, lv in by_size.items()
+                         if low in lv and high in lv)
+    if len(sweep_sizes) > 1:
+        lines += [
+            "## Scale sweep — efficiency as the problem grows",
+            "",
+            "Merged-minima core efficiency at every problem size measured",
+            f"at this fingerprint (local[{low}] vs local[{high}], same",
+            "methodology as above). Strong-scaling efficiency should hold",
+            "or improve as per-partition work grows relative to fixed",
+            "costs — this is the two-size evidence for the north rule's",
+            "claim that the plan survives growth in parallel work:",
+            "",
+            f"| areas | rounds L/H | core eff | containment eff | geocode "
+            f"eff | pipeline eff | minhash eff | areas/sec @{high} | "
+            f"lookups/sec @{high} |",
+            "|---|---|---|---|---|---|---|---|---|",
+        ]
+        for size in sweep_sizes:
+            ml = merged(by_size[size][low])
+            mh = merged(by_size[size][high])
+            cl = sum(t for q, t in ml["queries"].items() if q in CORE)
+            ch = sum(t for q, t in mh["queries"].items() if q in CORE)
+
+            def qeff(q: str) -> float:
+                return (ml["queries"][q] / mh["queries"][q]) / factor
+
+            # throughputs recomputed at this row's size (merged() divides
+            # by the outer run's n_areas; redo with the row's own)
+            aps = round(size / mh["queries"]["containment_graph"], 1)
+            lps = round(size / mh["queries"]["geocode_batch"], 1)
+            lines.append(
+                f"| {size:,} | {len(by_size[size][low])}/"
+                f"{len(by_size[size][high])} | {(cl / ch) / factor:.2f} "
+                f"| {qeff('containment_graph'):.2f} "
+                f"| {qeff('geocode_batch'):.2f} "
+                f"| {qeff('pipeline_areas'):.2f} "
+                f"| {qeff('minhash_scaled'):.2f} | {aps} | {lps} |")
+        lines.append("")
+    lines += [
         ("## Per-round end-to-end core totals (this session, no minima "
          "merge)" if rounds else
          "## Per-round end-to-end core totals (all rounds at this engine "
