@@ -31,12 +31,12 @@ def main() -> None:
     for _ in range(reps):
         spark.catalog.clearCache()
         t0 = time.time()
-        arrays = DD.shingle_arrays(docs).localCheckpoint(eager=True)
+        harr = DD.hashed_shingle_arrays(docs).localCheckpoint(eager=True)
         t1 = time.time()
-        sigs = DD.minhash_signatures(docs, sh_arrays=arrays)
+        sigs = DD.minhash_signatures(docs, h_arrays=harr)
         cands = DD.lsh_candidates(sigs).localCheckpoint(eager=True)
         t2 = time.time()
-        n = DD.jaccard_verify(docs, cands, 0.5, sh_arrays=arrays).count()
+        n = DD.jaccard_verify(docs, cands, 0.5, h_arrays=harr).count()
         t3 = time.time()
         phases = {"arrays": t1 - t0, "cands": t2 - t1, "verify": t3 - t2,
                   "total": t3 - t0}
