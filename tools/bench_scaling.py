@@ -15,14 +15,28 @@ steal-time noise.
 Efficiency for a fixed-size workload scaled from N to 4N cores is
 (T_N / T_4N) / 4 — 1.0 means perfect strong scaling. Writes BENCH.md.
 
+Evidence keying — per-QUERY path fingerprints. A history row's timing for
+query q is valid evidence for the current engine iff no byte of code that
+q's execution can touch has changed since the row was recorded. The
+whole-engine fingerprint (hash of the package + bench harness) is a
+sufficient condition but far too coarse: a dedup.py-only commit would
+orphan every containment/geocode/pipeline round, though those paths are
+byte-identical. So each core query declares its entry modules; the tool
+computes the transitive intra-package import closure (AST) and hashes
+exactly that file set. A row recorded at commit S qualifies for q when
+(a) S's committed tree reproduces the row's recorded whole-engine
+fingerprint (proves the row was measured on a clean tree), and (b) q's
+closure files at S are byte-identical (via `git show`) to the worktree.
+Rows matching the current whole-engine fingerprint qualify trivially.
+
 Usage: python tools/bench_scaling.py [low_cpus] [high_cpus] [n_areas] [reps]
        [rounds]   (rounds=0: report-only — regenerate BENCH.md from
-                   BENCH_HISTORY.jsonl entries at the current git SHA
-                   without launching any new runs)
+                   BENCH_HISTORY.jsonl without launching any new runs)
 """
 
 from __future__ import annotations
 
+import ast
 import glob
 import hashlib
 import json
@@ -30,21 +44,167 @@ import os
 import subprocess
 import sys
 
+PKG = "osm_jigsaw_spark"
+
 
 def engine_fingerprint() -> str:
-    """Hash of every file whose code can affect a timing (the engine
-    package + bench harness + driver entry). Minima are merged only
-    across history entries with the SAME fingerprint, so doc/tooling
-    commits don't orphan prior evidence but any engine change does
-    (ADVICE r1, tightened from git-SHA keying)."""
-    h = hashlib.sha256()
-    files = sorted(glob.glob("osm_jigsaw_spark/**/*.py", recursive=True))
+    """Hash of every file whose code can affect any timing (the engine
+    package + bench harness + driver entry) — the coarse key recorded on
+    every history row (ADVICE r1, tightened from git-SHA keying)."""
+    files = sorted(glob.glob(f"{PKG}/**/*.py", recursive=True))
     files += ["bench.py", "__spark_entry__.py"]
+    return _hash_files(files, lambda p: open(p, "rb").read())
+
+
+def _hash_files(files, reader) -> str | None:
+    h = hashlib.sha256()
     for p in files:
+        data = reader(p)
+        if data is None:
+            return None
         h.update(p.encode())
-        with open(p, "rb") as f:
-            h.update(f.read())
+        h.update(data)
     return h.hexdigest()[:12]
+
+
+# --- per-query path fingerprints -------------------------------------------
+
+def _module_file(mod: str) -> str | None:
+    if not mod.startswith(PKG):
+        return None
+    p = mod.replace(".", "/")
+    if os.path.isfile(p + ".py"):
+        return p + ".py"
+    if os.path.isfile(p + "/__init__.py"):
+        return p + "/__init__.py"
+    # `from pkg.mod import name` where name is not itself a module
+    parent = p.rsplit("/", 1)[0]
+    if os.path.isfile(parent + ".py"):
+        return parent + ".py"
+    return None
+
+
+def _imports_of(path: str) -> set[str]:
+    """Dotted names this module imports (absolute + resolved relative)."""
+    tree = ast.parse(open(path).read(), filename=path)
+    parts = path[:-3].split("/")
+    is_pkg = parts[-1] == "__init__"
+    if is_pkg:
+        parts = parts[:-1]
+    out: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                out.add(a.name)
+        elif isinstance(node, ast.ImportFrom):
+            if node.level == 0:
+                base = node.module or ""
+            else:
+                # a module's level-1 base is its package; a package
+                # __init__'s level-1 base is the package itself
+                drop = node.level - (1 if is_pkg else 0)
+                keep = parts[: len(parts) - drop]
+                base = ".".join(keep + ([node.module] if node.module else []))
+            if base:
+                out.add(base)
+            for a in node.names:
+                out.add((base + "." if base else "") + a.name)
+    return out
+
+
+def _closure(entries: tuple[str, ...]) -> tuple[str, ...]:
+    """Transitive intra-package import closure of the entry files."""
+    seen: set[str] = set()
+    todo = [e for e in entries]
+    while todo:
+        p = todo.pop()
+        if p in seen or not os.path.isfile(p):
+            continue
+        seen.add(p)
+        for mod in _imports_of(p):
+            f = _module_file(mod)
+            if f and f not in seen:
+                todo.append(f)
+    return tuple(sorted(seen))
+
+
+# Entry modules of each core query's execution path, INCLUDING its input
+# producers (the pipeline's output feeds the spatial queries, and its
+# partitioning/content shape their timings). bench.py drives every timed
+# region and session.py configures the JVM, so both are in every set.
+_SHARED = ("bench.py", f"{PKG}/session.py")
+_PIPE = (f"{PKG}/plans/pipeline.py", f"{PKG}/fixtures/scaled_docs.py")
+QUERY_ENTRIES: dict[str, tuple[str, ...]] = {
+    "pipeline_areas": _PIPE,
+    "cell_index": _PIPE + (f"{PKG}/operators/containment.py",),
+    "containment_graph": _PIPE + (f"{PKG}/operators/containment.py",),
+    "geocode_batch": _PIPE + (f"{PKG}/operators/containment.py",
+                              f"{PKG}/operators/geocode.py"),
+    "tile_assignments": _PIPE + (f"{PKG}/operators/tiling.py",),
+    "minhash_scaled": (f"{PKG}/fixtures/scaled_docs.py",
+                       f"{PKG}/operators/dedup.py"),
+    "cosine_scaled": (f"{PKG}/fixtures/scaled_docs.py",
+                      f"{PKG}/operators/similarity.py"),
+}
+# queries routed through __spark_entry__.queries() share its full import
+# surface; they stay on whole-fingerprint matching (all sub-2s, non-core)
+
+QUERY_FILES = {q: tuple(sorted(set(_closure(e)) | set(_SHARED)))
+               for q, e in QUERY_ENTRIES.items()}
+
+
+class Provenance:
+    """Resolves whether history rows qualify as evidence per query."""
+
+    def __init__(self) -> None:
+        self.fp = engine_fingerprint()
+        self.qfp = {q: _hash_files(f, lambda p: open(p, "rb").read())
+                    for q, f in QUERY_FILES.items()}
+        self._blob: dict[tuple[str, str], bytes | None] = {}
+        self._engine_at: dict[str, str | None] = {}
+        self._qfp_at: dict[tuple[str, str], str | None] = {}
+
+    def _git_show(self, sha: str, path: str) -> bytes | None:
+        key = (sha, path)
+        if key not in self._blob:
+            p = subprocess.run(["git", "show", f"{sha}:{path}"],
+                               capture_output=True)
+            self._blob[key] = p.stdout if p.returncode == 0 else None
+        return self._blob[key]
+
+    def _engine_fp_at(self, sha: str) -> str | None:
+        if sha not in self._engine_at:
+            p = subprocess.run(["git", "ls-tree", "-r", "--name-only", sha],
+                               capture_output=True, text=True)
+            if p.returncode != 0:
+                self._engine_at[sha] = None
+            else:
+                files = sorted(f for f in p.stdout.splitlines()
+                               if f.startswith(PKG + "/")
+                               and f.endswith(".py"))
+                files += ["bench.py", "__spark_entry__.py"]
+                self._engine_at[sha] = _hash_files(
+                    files, lambda f: self._git_show(sha, f))
+        return self._engine_at[sha]
+
+    def qualifies(self, row: dict, q: str) -> bool:
+        if row.get("fp") == self.fp:
+            return True
+        if q not in QUERY_FILES:
+            return False
+        sha, rfp = row.get("sha"), row.get("fp")
+        if not sha or not rfp:
+            return False
+        # clean-tree proof: the row's recorded whole-engine fp must be
+        # reproducible from its commit (rows recorded over uncommitted
+        # engine edits cannot be re-derived and are excluded; ADVICE r3)
+        if self._engine_fp_at(sha) != rfp:
+            return False
+        key = (sha, q)
+        if key not in self._qfp_at:
+            self._qfp_at[key] = _hash_files(
+                QUERY_FILES[q], lambda f: self._git_show(sha, f))
+        return self._qfp_at[key] == self.qfp[q]
 
 
 def run(cpus: int, n_areas: int, reps: int) -> dict:
@@ -77,15 +237,12 @@ def main():
     # multi-minute bursts, so back-to-back single runs can land one level
     # entirely inside a noisy window and flip the comparison. Per-query
     # minima across rounds estimate each level's clean-window performance.
-    # Every run is also appended to BENCH_HISTORY.jsonl tagged with the
-    # current git SHA, and minima are merged ONLY across sessions at the
-    # same (sha, cpus, n_areas) — timings from older engine code are never
-    # folded into the current code's evidence (ADVICE r1).
     hist_path = "BENCH_HISTORY.jsonl"
     sha = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
         text=True).stdout.strip() or "unknown"
-    fp = engine_fingerprint()
+    prov = Provenance()
+    fp = prov.fp
 
     def record(r: dict, cpus: int) -> None:
         with open(hist_path, "a") as f:
@@ -94,32 +251,6 @@ def main():
                                 "sf": r.get("sf", 0.1),
                                 "queries": r["queries"],
                                 "extra": r["extra"]}) + "\n")
-
-    # snapshot prior-session history BEFORE running (this session's own
-    # record() appends would otherwise be folded in twice)
-    prior: list[dict] = []
-    if os.path.exists(hist_path):
-        for line in open(hist_path):
-            h = json.loads(line)
-            # only this tool's own series: explicit tag on new rows; legacy
-            # untagged rows qualify only if they carry core-suite queries
-            # (bench_geocode's heavy rows don't, by construction)
-            if h.get("series", "core") != "core":
-                continue
-            if not any(q in h.get("queries", {}) for q in CORE):
-                continue
-            if h["n_areas"] != n_areas:
-                continue
-            # strict fingerprint match for rows that carry one (rows
-            # recorded at this commit but with uncommitted engine edits
-            # have a different fp and must not fold in); the git-SHA
-            # fallback applies only to legacy rows lacking fp (ADVICE r3)
-            if "fp" in h:
-                if h["fp"] != fp:
-                    continue
-            elif h.get("sha") != sha:
-                continue
-            prior.append(h)
 
     runs_low, runs_high = [], []
     for _ in range(rounds):
@@ -130,51 +261,83 @@ def main():
         record(r, high)
         runs_high.append(r)
 
-    # fold in prior sessions at the same configuration AND engine version
-    for h in prior:
-        entry = {"queries": h["queries"], "extra": h["extra"],
-                 "value": 0, "sf": h.get("sf", 0.1)}
-        if h["cpus"] == low:
-            runs_low.append(entry)
-        elif h["cpus"] == high:
-            runs_high.append(entry)
-    if not runs_low or not runs_high:
-        sys.exit(f"no history at sha={sha} n_areas={n_areas} for both "
+    # every core-series row ever recorded (fresh runs included — they were
+    # just appended); qualification is decided per query below
+    hist: list[dict] = []
+    if os.path.exists(hist_path):
+        for line in open(hist_path):
+            h = json.loads(line)
+            if h.get("series", "core") != "core":
+                continue
+            if not any(q in h.get("queries", {}) for q in CORE):
+                continue
+            hist.append(h)
+
+    def rows_at(size: int, cpus: int) -> list[dict]:
+        return [h for h in hist
+                if h["n_areas"] == size and h["cpus"] == cpus]
+
+    def level_evidence(size: int, cpus: int):
+        """(per-query minima, per-query round counts, newest current-fp
+        row for count-type extra fields)."""
+        rows = rows_at(size, cpus)
+        cur = [h for h in rows if h.get("fp") == fp]
+        if not cur:
+            return None
+        qmins: dict[str, float] = {}
+        qn: dict[str, int] = {}
+        for q in cur[-1]["queries"]:
+            vals = [h["queries"][q] for h in rows
+                    if q in h["queries"] and prov.qualifies(h, q)]
+            qmins[q] = min(vals)
+            qn[q] = len(vals)
+        return qmins, qn, cur[-1]
+
+    ev_low = level_evidence(n_areas, low)
+    ev_high = level_evidence(n_areas, high)
+    if ev_low is None or ev_high is None:
+        sys.exit(f"no history at fp={fp} n_areas={n_areas} for both "
                  f"cpus={low} and cpus={high}; run with rounds>0 first")
 
-    def merged(rs: list[dict]) -> dict:
-        out = json.loads(json.dumps(rs[0]))
-        for r in rs[1:]:
-            for q in out["queries"]:
-                t = r["queries"].get(q)  # older sessions may lack a query
-                if t is not None and t < out["queries"][q]:
-                    out["queries"][q] = t
-        out["value"] = round(sum(out["queries"].values()), 3)
-        na = out["extra"]["n_areas"]
-        out["extra"]["containment_areas_per_sec"] = round(
-            na / out["queries"]["containment_graph"], 1)
-        npts = n_areas
-        out["extra"]["geocode_lookups_per_sec"] = round(
-            npts / out["queries"]["geocode_batch"], 1)
-        return out
+    def as_result(ev, size: int) -> dict:
+        qmins, qn, newest = ev
+        extra = dict(newest["extra"])
+        extra["containment_areas_per_sec"] = round(
+            size / qmins["containment_graph"], 1)
+        extra["geocode_lookups_per_sec"] = round(
+            size / qmins["geocode_batch"], 1)
+        return {"queries": qmins, "rounds": qn, "extra": extra,
+                "sf": newest.get("sf", 0.1)}
 
-    r_low = merged(runs_low)
-    r_high = merged(runs_high)
+    r_low = as_result(ev_low, n_areas)
+    r_high = as_result(ev_high, n_areas)
 
-    # per-round end-to-end core totals (this session's fresh runs only) —
-    # the merged-minima core total below is a composite no single run
-    # achieved; these show what single runs actually did (ADVICE r1)
-    def round_totals(rs: list[dict]) -> list[float]:
-        take = rs[:rounds] if rounds else rs  # report-only: all history
+    # per-round end-to-end core totals — the merged-minima core total is a
+    # composite no single run achieved; these show what single runs did
+    # (ADVICE r1). Fresh runs this session, or (report-only) every run at
+    # the current whole-engine fingerprint.
+    def round_totals(fresh: list[dict], cpus: int) -> list[float]:
+        take = fresh if rounds else [
+            h for h in rows_at(n_areas, cpus) if h.get("fp") == fp]
         return sorted(
             round(sum(t for q, t in r["queries"].items() if q in CORE), 2)
             for r in take)
 
-    tot_low, tot_high = round_totals(runs_low), round_totals(runs_high)
+    tot_low = round_totals(runs_low, low)
+    tot_high = round_totals(runs_high, high)
 
     def med(xs: list[float]) -> float:
         return xs[len(xs) // 2] if len(xs) % 2 else (
             xs[len(xs) // 2 - 1] + xs[len(xs) // 2]) / 2
+
+    def nrange(qn_low: dict, qn_high: dict) -> str:
+        core_l = [n for q, n in qn_low.items() if q in CORE]
+        core_h = [n for q, n in qn_high.items() if q in CORE]
+
+        def fmt(ns):
+            lo, hi = min(ns), max(ns)
+            return str(lo) if lo == hi else f"{lo}–{hi}"
+        return f"{fmt(core_l)}/{fmt(core_h)}"
 
     lines = [
         "# BENCH — scaling evidence (N vs 4N parallelism)",
@@ -183,16 +346,19 @@ def main():
         f"points / sf={r_low['sf']} testdata), fresh JVM per level:",
         f"`local[{low}]` vs `local[{high}]` — the sandbox proxy for N vs 4N",
         "executors agreed in BASELINE.md (no real cluster here). Timing is",
-        f"the per-query min over {len(runs_low)}/{len(runs_high)} fresh-JVM "
-        f"rounds (low/high level)",
-        f"× {reps} in-JVM warm reps each (cache cleared between reps) — the",
-        "host is time-shared and steal-time arrives in multi-minute bursts,",
-        "so minima estimate clean-window performance at each level.",
+        "the per-query min over all qualifying fresh-JVM rounds (rounds",
+        f"column; {reps} in-JVM warm reps each, cache cleared between",
+        "reps) — the host is time-shared and steal-time arrives in",
+        "multi-minute bursts, so minima estimate clean-window performance",
+        "at each level. A round qualifies for a query iff no byte of the",
+        "code on that query's execution path (AST import closure +",
+        "bench/session harness) changed since it was recorded — see",
+        "module docstring of tools/bench_scaling.py.",
         "",
-        f"| query | local[{low}] sec | local[{high}] sec | speedup | "
-        f"efficiency (/{factor:.0f}x) | fixed cost sec (2-pt fit, % of "
-        f"local[{high}]) |",
-        "|---|---|---|---|---|---|",
+        f"| query | local[{low}] sec | local[{high}] sec | rounds L/H | "
+        f"speedup | efficiency (/{factor:.0f}x) | fixed cost sec "
+        f"(2-pt fit, % of local[{high}]) |",
+        "|---|---|---|---|---|---|---|",
     ]
     core_low = core_high = 0.0
     for q in r_low["queries"]:
@@ -208,18 +374,21 @@ def main():
         Fq = max(0.0, tl - W / low)
         fpct = (Fq / th * 100) if th else float("nan")
         lines.append(
-            f"| {q} | {tl:.2f} | {th:.2f} | {sp:.2f}x | {sp / factor:.2f} "
+            f"| {q} | {tl:.2f} | {th:.2f} "
+            f"| {r_low['rounds'][q]}/{r_high['rounds'][q]} "
+            f"| {sp:.2f}x | {sp / factor:.2f} "
             f"| {Fq:.2f} ({fpct:.0f}%) |")
     eff = (core_low / core_high) / factor
     lines += [
-        f"| **core total** | **{core_low:.2f}** | **{core_high:.2f}** | "
+        f"| **core total** | **{core_low:.2f}** | **{core_high:.2f}** | | "
         f"**{core_low / core_high:.2f}x** | **{eff:.2f}** | |",
         "",
         "## Throughput",
         "",
         f"| metric | local[{low}] | local[{high}] |",
         "|---|---|---|",
-        f"| containment areas/sec | {r_low['extra']['containment_areas_per_sec']} "
+        f"| containment areas/sec | "
+        f"{r_low['extra']['containment_areas_per_sec']} "
         f"| {r_high['extra']['containment_areas_per_sec']} |",
         f"| geocode lookups/sec | {r_low['extra']['geocode_lookups_per_sec']} "
         f"| {r_high['extra']['geocode_lookups_per_sec']} |",
@@ -227,61 +396,48 @@ def main():
     ]
 
     # scale sweep: the north rule's efficiency claim must hold as the
-    # problem grows, not at one size. For every problem size with rounds
-    # at BOTH levels at the current fingerprint, report the merged-minima
-    # core efficiency and the key per-query efficiencies side by side.
-    by_size: dict[int, dict[int, list[dict]]] = {}
-    if os.path.exists(hist_path):
-        for line in open(hist_path):
-            h = json.loads(line)
-            if h.get("series", "core") != "core":
-                continue
-            if h.get("fp") != fp:
-                continue
-            if h["cpus"] not in (low, high):
-                continue
-            by_size.setdefault(h["n_areas"], {}).setdefault(
-                h["cpus"], []).append(
-                {"queries": h["queries"], "extra": h["extra"],
-                 "value": 0, "sf": h.get("sf", 0.1)})
-    sweep_sizes = sorted(s for s, lv in by_size.items()
-                         if low in lv and high in lv)
-    if len(sweep_sizes) > 1:
+    # problem grows, not at one size. For every problem size with
+    # qualifying rounds at BOTH levels, report the merged-minima core
+    # efficiency and the key per-query efficiencies side by side.
+    sizes = sorted({h["n_areas"] for h in hist})
+    sweep = []
+    for size in sizes:
+        el, eh = level_evidence(size, low), level_evidence(size, high)
+        if el and eh:
+            sweep.append((size, as_result(el, size), as_result(eh, size)))
+    if len(sweep) > 1:
         lines += [
             "## Scale sweep — efficiency as the problem grows",
             "",
             "Merged-minima core efficiency at every problem size measured",
-            f"at this fingerprint (local[{low}] vs local[{high}], same",
-            "methodology as above). Strong-scaling efficiency should hold",
-            "or improve as per-partition work grows relative to fixed",
-            "costs — this is the two-size evidence for the north rule's",
-            "claim that the plan survives growth in parallel work:",
+            f"(local[{low}] vs local[{high}], same methodology and",
+            "path-fingerprint qualification as above). Strong-scaling",
+            "efficiency should hold or improve as per-partition work grows",
+            "relative to fixed costs — this is the two-size evidence for",
+            "the north rule's claim that the plan survives growth in",
+            "parallel work:",
             "",
             f"| areas | rounds L/H | core eff | containment eff | geocode "
             f"eff | pipeline eff | minhash eff | areas/sec @{high} | "
             f"lookups/sec @{high} |",
             "|---|---|---|---|---|---|---|---|---|",
         ]
-        for size in sweep_sizes:
-            ml = merged(by_size[size][low])
-            mh = merged(by_size[size][high])
+        for size, ml, mh in sweep:
             cl = sum(t for q, t in ml["queries"].items() if q in CORE)
             ch = sum(t for q, t in mh["queries"].items() if q in CORE)
 
             def qeff(q: str) -> float:
                 return (ml["queries"][q] / mh["queries"][q]) / factor
 
-            # throughputs recomputed at this row's size (merged() divides
-            # by the outer run's n_areas; redo with the row's own)
-            aps = round(size / mh["queries"]["containment_graph"], 1)
-            lps = round(size / mh["queries"]["geocode_batch"], 1)
             lines.append(
-                f"| {size:,} | {len(by_size[size][low])}/"
-                f"{len(by_size[size][high])} | {(cl / ch) / factor:.2f} "
+                f"| {size:,} | {nrange(ml['rounds'], mh['rounds'])} "
+                f"| {(cl / ch) / factor:.2f} "
                 f"| {qeff('containment_graph'):.2f} "
                 f"| {qeff('geocode_batch'):.2f} "
                 f"| {qeff('pipeline_areas'):.2f} "
-                f"| {qeff('minhash_scaled'):.2f} | {aps} | {lps} |")
+                f"| {qeff('minhash_scaled'):.2f} "
+                f"| {mh['extra']['containment_areas_per_sec']} "
+                f"| {mh['extra']['geocode_lookups_per_sec']} |")
         lines.append("")
     lines += [
         ("## Per-round end-to-end core totals (this session, no minima "
@@ -296,10 +452,16 @@ def main():
         f"| local[{high}] | {', '.join(f'{t:.2f}' for t in tot_high)} "
         f"| {med(tot_high):.2f} | {tot_high[0]:.2f} |",
         "",
-        f"Merged-minima evidence above folds in prior sessions **at engine "
-        f"fingerprint {fp} only** (hash of the package + bench harness — "
-        f"recorded here at git SHA {sha}); timings from older engine code "
-        f"are excluded.",
+        f"Whole-engine fingerprint here: {fp} (git SHA {sha}). Evidence",
+        "is keyed per QUERY: a historical round qualifies for a query iff",
+        "the byte-content of every file on that query's execution path",
+        "(declared entry modules + transitive intra-package imports +",
+        "bench.py + session.py) is identical to the current worktree,",
+        "verified against the round's commit via `git show`, and the",
+        "round's recorded whole-engine fingerprint is reproducible from",
+        "that commit (excludes rounds measured over uncommitted edits).",
+        "Commits that cannot affect a query's timing therefore no longer",
+        "orphan its evidence; any commit that can, does.",
         "",
         f"Core total = the {len(CORE)} partition-parallel engine queries.",
         "The remaining suite entries are excluded because their runtime is",
@@ -311,7 +473,8 @@ def main():
         "identically at both levels, whereas real N->4N executors add heap,",
         "GC headroom, and shuffle service capacity with the cores.",
         "",
-        "Raw JSON:",
+        "Merged-minima evidence (per-query mins + qualifying round",
+        "counts):",
         "```json",
         json.dumps(r_low),
         json.dumps(r_high),
