@@ -302,12 +302,18 @@ def main():
     def as_result(ev, size: int) -> dict:
         qmins, qn, newest = ev
         extra = dict(newest["extra"])
+        # containment throughput divides by the DISTINCT area count the
+        # pipeline actually produced: the scaled-world fixture saturates
+        # at 1,572,771 distinct rects (288 base cells x 5,461 tree nodes
+        # + 3 mega), and beyond that requested sizes generate exact-
+        # duplicate trees that the area-dedup operator merges
+        actual = extra.get("n_areas") or size
         extra["containment_areas_per_sec"] = round(
-            size / qmins["containment_graph"], 1)
+            actual / qmins["containment_graph"], 1)
         extra["geocode_lookups_per_sec"] = round(
             size / qmins["geocode_batch"], 1)
         return {"queries": qmins, "rounds": qn, "extra": extra,
-                "sf": newest.get("sf", 0.1)}
+                "sf": newest.get("sf", 0.1), "distinct_areas": actual}
 
     r_low = as_result(ev_low, n_areas)
     r_high = as_result(ev_high, n_areas)
@@ -422,6 +428,7 @@ def main():
             f"lookups/sec @{high} |",
             "|---|---|---|---|---|---|---|---|---|",
         ]
+        saturated = False
         for size, ml, mh in sweep:
             cl = sum(t for q, t in ml["queries"].items() if q in CORE)
             ch = sum(t for q, t in mh["queries"].items() if q in CORE)
@@ -429,8 +436,12 @@ def main():
             def qeff(q: str) -> float:
                 return (ml["queries"][q] / mh["queries"][q]) / factor
 
+            label = f"{size:,}"
+            if mh["distinct_areas"] != size:
+                label += f" ({mh['distinct_areas']:,} distinct)"
+                saturated = True
             lines.append(
-                f"| {size:,} | {nrange(ml['rounds'], mh['rounds'])} "
+                f"| {label} | {nrange(ml['rounds'], mh['rounds'])} "
                 f"| {(cl / ch) / factor:.2f} "
                 f"| {qeff('containment_graph'):.2f} "
                 f"| {qeff('geocode_batch'):.2f} "
@@ -438,6 +449,19 @@ def main():
                 f"| {qeff('minhash_scaled'):.2f} "
                 f"| {mh['extra']['containment_areas_per_sec']} "
                 f"| {mh['extra']['geocode_lookups_per_sec']} |")
+        if saturated:
+            lines += [
+                "",
+                "Rows marked *(n distinct)*: the scaled-world fixture's",
+                "tree grid holds 288 base cells × 5,461 nodes + 3 mega =",
+                "1,572,771 distinct rects; larger requested sizes emit",
+                "exact-duplicate trees that the area-dedup operator merges",
+                "(verified: n_edges = distinct+1 — the engine absorbed a",
+                "~35% duplicate world). Per-row efficiency is unaffected",
+                "(both levels run the identical input: full-size decode /",
+                "geocode-point / dedup-corpus load); areas/sec divides by",
+                "the distinct count.",
+            ]
         lines.append("")
     lines += [
         ("## Per-round end-to-end core totals (this session, no minima "
