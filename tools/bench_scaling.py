@@ -401,22 +401,79 @@ def main():
         "",
     ]
 
-    # scale sweep: the north rule's efficiency claim must hold as the
-    # problem grows, not at one size. For every problem size with
-    # qualifying rounds at BOTH levels, report the merged-minima core
-    # efficiency and the key per-query efficiencies side by side.
-    sizes = sorted({h["n_areas"] for h in hist})
-    sweep = []
-    for size in sizes:
-        el, eh = level_evidence(size, low), level_evidence(size, high)
+    # parallelism-pair sweep: the same input at every measured N→4N pair.
+    # Subscription at the TOP level differs: local[16] schedules 16 JVM
+    # task threads + up to 16 Python UDF workers ≈ 32 runnable threads on
+    # this shared 32-hardware-thread host, while local[8] stays
+    # undersubscribed at both levels — the faithful analog of real N→4N
+    # executors, which bring their own memory bandwidth, heap, and block
+    # managers with the cores (BENCH_APPENDIX.md documents 8/32
+    # anti-scaling at the extreme).
+    PAIRS = ((2, 8), (4, 16))
+    pair_ev = []
+    for plo, phi in PAIRS:
+        el, eh = level_evidence(n_areas, plo), level_evidence(n_areas, phi)
         if el and eh:
-            sweep.append((size, as_result(el, size), as_result(eh, size)))
-    if len(sweep) > 1:
+            pair_ev.append((plo, phi, as_result(el, n_areas),
+                            as_result(eh, n_areas)))
+    if len(pair_ev) > 1:
         lines += [
-            "## Scale sweep — efficiency as the problem grows",
+            "## Parallelism-pair sweep — same input, every N→4N pair",
+            "",
+            f"Merged-minima efficiency for the {n_areas:,}-area input at",
+            "every measured 4x parallelism pair. The lower pair keeps the",
+            "top level undersubscribed (JVM task threads + Python UDF",
+            "workers ≤ host threads), so it isolates partition-parallel",
+            "scaling from single-host oversubscription — the closer proxy",
+            "for real N→4N executors, which add memory bandwidth, heap,",
+            "and block managers with the cores:",
+            "",
+            "| pair | rounds L/H | core eff | containment eff | geocode "
+            "eff | pipeline eff | minhash eff | areas/sec @high | "
+            "lookups/sec @high |",
+            "|---|---|---|---|---|---|---|---|---|",
+        ]
+        for plo, phi, ml, mh in pair_ev:
+            pf = phi / plo
+            cl = sum(t for q, t in ml["queries"].items() if q in CORE)
+            ch = sum(t for q, t in mh["queries"].items() if q in CORE)
+
+            def peff(q: str) -> float:
+                return (ml["queries"][q] / mh["queries"][q]) / pf
+
+            lines.append(
+                f"| local[{plo}]→local[{phi}] "
+                f"| {nrange(ml['rounds'], mh['rounds'])} "
+                f"| {(cl / ch) / pf:.2f} "
+                f"| {peff('containment_graph'):.2f} "
+                f"| {peff('geocode_batch'):.2f} "
+                f"| {peff('pipeline_areas'):.2f} "
+                f"| {peff('minhash_scaled'):.2f} "
+                f"| {mh['extra']['containment_areas_per_sec']} "
+                f"| {mh['extra']['geocode_lookups_per_sec']} |")
+        lines.append("")
+
+    # scale sweep: the north rule's efficiency claim must hold as the
+    # problem grows, not at one size. For every pair, for every problem
+    # size with qualifying rounds at BOTH levels, report the merged-minima
+    # core efficiency and the key per-query efficiencies side by side.
+    sizes = sorted({h["n_areas"] for h in hist})
+    for plo, phi in PAIRS:
+        pf = phi / plo
+        sweep = []
+        for size in sizes:
+            el, eh = level_evidence(size, plo), level_evidence(size, phi)
+            if el and eh:
+                sweep.append((size, as_result(el, size),
+                              as_result(eh, size)))
+        if len(sweep) <= 1:
+            continue
+        lines += [
+            f"## Scale sweep (local[{plo}]→local[{phi}]) — efficiency "
+            "as the problem grows",
             "",
             "Merged-minima core efficiency at every problem size measured",
-            f"(local[{low}] vs local[{high}], same methodology and",
+            f"(local[{plo}] vs local[{phi}], same methodology and",
             "path-fingerprint qualification as above). Strong-scaling",
             "efficiency should hold or improve as per-partition work grows",
             "relative to fixed costs — this is the two-size evidence for",
@@ -424,8 +481,8 @@ def main():
             "parallel work:",
             "",
             f"| areas | rounds L/H | core eff | containment eff | geocode "
-            f"eff | pipeline eff | minhash eff | areas/sec @{high} | "
-            f"lookups/sec @{high} |",
+            f"eff | pipeline eff | minhash eff | areas/sec @{phi} | "
+            f"lookups/sec @{phi} |",
             "|---|---|---|---|---|---|---|---|---|",
         ]
         saturated = False
@@ -434,7 +491,7 @@ def main():
             ch = sum(t for q, t in mh["queries"].items() if q in CORE)
 
             def qeff(q: str) -> float:
-                return (ml["queries"][q] / mh["queries"][q]) / factor
+                return (ml["queries"][q] / mh["queries"][q]) / pf
 
             label = f"{size:,}"
             if mh["distinct_areas"] != size:
@@ -442,7 +499,7 @@ def main():
                 saturated = True
             lines.append(
                 f"| {label} | {nrange(ml['rounds'], mh['rounds'])} "
-                f"| {(cl / ch) / factor:.2f} "
+                f"| {(cl / ch) / pf:.2f} "
                 f"| {qeff('containment_graph'):.2f} "
                 f"| {qeff('geocode_batch'):.2f} "
                 f"| {qeff('pipeline_areas'):.2f} "
