@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.snapshots import snapshot
 from .textops import hash60, words_col
 
 P = 2_147_483_647          # 2^31-1 prime for the affine permutations
@@ -326,9 +327,9 @@ def minhash_near_duplicates(documents: DataFrame,
     data-dependent jobs), so they are not a scale-killer; they are the
     price of cutting the expensive subtree out of every downstream
     branch."""
-    harr = hashed_shingle_arrays(documents).localCheckpoint(eager=True)
+    harr = snapshot(hashed_shingle_arrays(documents), "harr")
     sigs = minhash_signatures(documents, h_arrays=harr)
-    cands = lsh_candidates(sigs).localCheckpoint(eager=True)
+    cands = snapshot(lsh_candidates(sigs), "cands")
     return jaccard_verify(documents, cands, threshold, h_arrays=harr)
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions import cells as C
 from ..functions.geometry import pip_col
+from ..plans.snapshots import snapshot
 from .containment import ROOT_ID, area_cell_index
 
 
@@ -219,9 +220,10 @@ def geocode(areas: DataFrame, edges: DataFrame, points: DataFrame,
     testing; same output). `idx`: optional shared area_cell_index."""
     # materialize once: `containing` feeds three join branches (child
     # membership, parent membership, path grouping) — without this the
-    # candidate join + PIP would re-run per consumer
-    containing = areas_containing_points(areas, points, idx=idx) \
-        .localCheckpoint(eager=True)
+    # candidate join + PIP would re-run per consumer (disk-parquet
+    # barrier, the measured winner — plans/snapshots.py)
+    containing = snapshot(
+        areas_containing_points(areas, points, idx=idx), "containing")
     if grouped:
         return geocode_paths_grouped(edges, containing)
     return geocode_paths(edges, containing)

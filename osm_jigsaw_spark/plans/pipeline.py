@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..operators import areas as A
 from ..operators import containment as G
 from ..sources import documents as D
+from .snapshots import snapshot
 
 
 @dataclass
@@ -40,8 +41,10 @@ def run_pipeline(documents: DataFrame, cache: bool = True,
                           has_relations=has_relations)
     if cache:
         # areas feeds both sides of the containment join and the root
-        # anti-join — materialize once (Iceberg snapshot on a cluster).
-        areas = areas.localCheckpoint(eager=True)
+        # anti-join — materialize once (Iceberg snapshot on a cluster;
+        # disk-parquet barrier here, the measured winner over
+        # localCheckpoint — plans/snapshots.py).
+        areas = snapshot(areas, "areas")
     edges = G.graph_edges(areas)
     atags = A.area_tags(tags, areas)
     return PipelineResult(nodes, ways, relations, tags, areas, edges, atags)

@@ -112,8 +112,22 @@ def _imports_of(path: str) -> set[str]:
     return out
 
 
+def _ancestor_inits(path: str) -> list[str]:
+    """Package __init__.py files executed by any import of `path`'s module
+    (they run code on import, so they are on the execution path of every
+    module under them; ADVICE r4)."""
+    out = []
+    parts = path.split("/")[:-1]
+    for i in range(len(parts)):
+        ini = "/".join(parts[: i + 1]) + "/__init__.py"
+        if os.path.isfile(ini):
+            out.append(ini)
+    return out
+
+
 def _closure(entries: tuple[str, ...]) -> tuple[str, ...]:
-    """Transitive intra-package import closure of the entry files."""
+    """Transitive intra-package import closure of the entry files,
+    including the ancestor __init__.py chain of every included module."""
     seen: set[str] = set()
     todo = [e for e in entries]
     while todo:
@@ -121,6 +135,7 @@ def _closure(entries: tuple[str, ...]) -> tuple[str, ...]:
         if p in seen or not os.path.isfile(p):
             continue
         seen.add(p)
+        todo += [i for i in _ancestor_inits(p) if i not in seen]
         for mod in _imports_of(p):
             f = _module_file(mod)
             if f and f not in seen:
@@ -131,8 +146,16 @@ def _closure(entries: tuple[str, ...]) -> tuple[str, ...]:
 # Entry modules of each core query's execution path, INCLUDING its input
 # producers (the pipeline's output feeds the spatial queries, and its
 # partitioning/content shape their timings). bench.py drives every timed
-# region and session.py configures the JVM, so both are in every set.
-_SHARED = ("bench.py", f"{PKG}/session.py")
+# region, session.py configures the JVM, and snapshots.py implements the
+# stage barriers inside every timed region, so all three (closured, with
+# __init__ chains; ADVICE r4) are in every set. bench.py itself is NOT
+# closured: its imports are exactly the per-query entry declarations,
+# and the assert below fails loudly if a bench.py import ever escapes
+# them (ADVICE r4 — the gap now breaks instead of silently merging
+# stale timings).
+_SHARED = tuple(sorted(
+    set(_closure((f"{PKG}/session.py", f"{PKG}/plans/snapshots.py")))
+    | {"bench.py", f"{PKG}/__init__.py"}))
 _PIPE = (f"{PKG}/plans/pipeline.py", f"{PKG}/fixtures/scaled_docs.py")
 QUERY_ENTRIES: dict[str, tuple[str, ...]] = {
     "pipeline_areas": _PIPE,
@@ -151,6 +174,18 @@ QUERY_ENTRIES: dict[str, tuple[str, ...]] = {
 
 QUERY_FILES = {q: tuple(sorted(set(_closure(e)) | set(_SHARED)))
                for q, e in QUERY_ENTRIES.items()}
+
+# Loud-failure guard (ADVICE r4): every intra-package module bench.py
+# imports must be inside some declared query closure (or _SHARED) — a
+# future bench.py import outside them would silently escape per-query
+# fingerprint keying and let stale timings merge.
+_covered = set(_SHARED).union(*QUERY_FILES.values())
+_bench_imports = {f for m in _imports_of("bench.py")
+                  for f in [_module_file(m)] if f}
+assert _bench_imports <= _covered, (
+    "bench.py imports escape per-query fingerprint keying: "
+    f"{sorted(_bench_imports - _covered)} — declare them in QUERY_ENTRIES "
+    "or _SHARED (tools/bench_scaling.py)")
 
 
 class Provenance:
@@ -177,6 +212,11 @@ class Provenance:
             p = subprocess.run(["git", "ls-tree", "-r", "--name-only", sha],
                                capture_output=True, text=True)
             if p.returncode != 0:
+                # conservative direction (evidence dropped, never wrongly
+                # merged) but say so instead of vanishing rounds silently
+                print(f"WARNING: history sha {sha!r} not resolvable in "
+                      "this repo — its rows are excluded from evidence",
+                      file=sys.stderr)
                 self._engine_at[sha] = None
             else:
                 files = sorted(f for f in p.stdout.splitlines()
@@ -208,11 +248,21 @@ class Provenance:
 
 
 def run(cpus: int, n_areas: int, reps: int) -> dict:
+    # Workload fully pinned (ADVICE r4): docs count, sf dir, and barrier
+    # mode are forced so an ambient override can never record core-series
+    # rows whose minima would merge incomparable workloads. `reps` runs as
+    # SUITE rounds (min per query across full suite passes — decorrelates
+    # from the host's multi-minute noise bursts better than back-to-back
+    # in-place reps).
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_BENCH_AREAS=str(n_areas),
                SPARK_GRAFT_BENCH_POINTS=str(n_areas),
-               SPARK_GRAFT_BENCH_REPS=str(reps))
+               SPARK_GRAFT_BENCH_DOCS=str(n_areas),
+               SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
+               SPARK_GRAFT_BENCH_ROUNDS=str(reps),
+               SPARK_GRAFT_BENCH_REPS="1")
+    env.pop("SPARK_GRAFT_BARRIER", None)  # bench uses the engine default
     out = subprocess.run(
         [sys.executable, "bench.py"], env=env, capture_output=True,
         text=True, timeout=5400, check=True,
@@ -238,8 +288,10 @@ def main():
     # entirely inside a noisy window and flip the comparison. Per-query
     # minima across rounds estimate each level's clean-window performance.
     hist_path = "BENCH_HISTORY.jsonl"
+    # full 40-char SHA (ADVICE r4: abbreviated SHAs can become ambiguous
+    # later, silently disqualifying a round's evidence)
     sha = subprocess.run(
-        ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+        ["git", "rev-parse", "HEAD"], capture_output=True,
         text=True).stdout.strip() or "unknown"
     prov = Provenance()
     fp = prov.fp
@@ -249,6 +301,8 @@ def main():
             f.write(json.dumps({"sha": sha, "fp": fp, "cpus": cpus,
                                 "series": "core", "n_areas": n_areas,
                                 "sf": r.get("sf", 0.1),
+                                "docs": r.get("n_docs", n_areas),
+                                "barrier": r.get("barrier"),
                                 "queries": r["queries"],
                                 "extra": r["extra"]}) + "\n")
 
@@ -284,6 +338,18 @@ def main():
         cur = [h for h in rows if h.get("fp") == fp]
         if not cur:
             return None
+        # Workload comparability filter (ADVICE r4): minima merge only
+        # across rows measuring the same testdata scale factor, docs
+        # count, and barrier mode as the newest current-fp row (fields
+        # absent on pre-round-5 rows default to that row's values — those
+        # rows are already excluded by fingerprint qualification).
+        ref = cur[-1]
+        rows = [h for h in rows
+                if h.get("sf", ref.get("sf", 0.1)) == ref.get("sf", 0.1)
+                and h.get("docs", ref.get("docs", size))
+                == ref.get("docs", size)
+                and h.get("barrier", ref.get("barrier"))
+                == ref.get("barrier")]
         qmins: dict[str, float] = {}
         qn: dict[str, int] = {}
         for q in cur[-1]["queries"]:
@@ -442,10 +508,12 @@ def main():
             "time-shared host, per headline metric (pair tables below",
             "carry every measurement):",
             "",
-            "| metric | best eff | at pair |",
-            "|---|---|---|",
+            "| metric | best eff | at pair | ≥0.8 target |",
+            "|---|---|---|---|",
         ] + [
-            f"| {label} | {e:.2f} | local[{plo}]→local[{phi}] |"
+            f"| {label} | {e:.2f} | local[{plo}]→local[{phi}] | "
+            + ("**met**" if e >= 0.8 else "not met on single-host proxy")
+            + " |"
             for label, (e, plo, phi) in best.items()
         ] + [
             "",
