@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -201,6 +202,50 @@ def q_tags_for(spark, sf_dir):
                                 "osm_id string")
     return (pipe.tags.join(F.broadcast(ids), "osm_id")
             .select("osm_id", F.explode("tags").alias("k", "v")))
+
+
+def q_shortest_name(spark, sf_dir):
+    """O5 — EntityNameTags.scala:8-11 shortest-name tie-break: among an
+    entity's name-family tag values (name / name:* / addr:housename), the
+    shortest wins, lexicographic on equal lengths (min_by over a
+    (length, value) struct; VERDICT r4 optional item 8)."""
+    pipe = _fx(spark)["pipe"]
+    kv = pipe.tags.select("osm_id", F.explode("tags").alias("k", "v"))
+    names = kv.filter(
+        (F.col("k") == "name") | F.col("k").startswith("name:")
+        | (F.col("k") == "addr:housename"))
+    return names.groupBy("osm_id").agg(
+        F.min_by("v", F.struct(F.length("v"), "v")).alias("shortest_name"),
+        F.count("*").cast("long").alias("n_name_tags"))
+
+
+#: canonical public geohash test vectors (Wikipedia examples + boundary
+#: clipping) — the oracle is a literal golden table of the same strings
+GEOHASH_POINTS = (("dk", 57.64911, 10.40744), ("es", 42.605, -5.603),
+                  ("zero", 0.0, 0.0), ("hi", 90.0, 180.0),
+                  ("lo", -90.0, -180.0))
+
+
+def q_geohash_cells(spark, sf_dir):
+    """F7 — geohash encode (tiles/TileGenerator.scala:13-32 cell naming)
+    over canonical test vectors at res 1..5, vectorized per-resolution in
+    one Arrow batch kernel (functions/cells.geohash_encode_np)."""
+    pts = spark.createDataFrame(list(GEOHASH_POINTS),
+                                "point_id string, lat double, lon double")
+    pts = pts.withColumn(
+        "res", F.explode(F.array(*[F.lit(r) for r in C.RESOLUTIONS])))
+
+    @F.pandas_udf("string")
+    def gh(lat: pd.Series, lon: pd.Series, res: pd.Series) -> pd.Series:
+        out = pd.Series(index=lat.index, dtype=object)
+        for r in res.unique():
+            m = res == r
+            out[m] = C.geohash_encode_np(
+                lat[m].to_numpy(), lon[m].to_numpy(), int(r))
+        return out
+
+    return pts.select("point_id", F.col("res").cast("long").alias("res"),
+                      gh("lat", "lon", "res").alias("geohash"))
 
 
 def q_way_points_stats(spark, sf_dir):
@@ -501,7 +546,7 @@ def q_fingerprints(spark, sf_dir):
 
 def q_media_features(spark, sf_dir):
     media = MM.attach_fake_media(_t(spark, sf_dir, "documents"))
-    return MM.extract_features(media, fake=True).select(
+    return MM.extract_features(media).select(
         "doc_id", "media_type",
         F.col("n_bytes").cast("long").alias("n_bytes"), "payload_md5")
 
@@ -515,7 +560,7 @@ def q_frame_sample(spark, sf_dir):
 
 def q_media_resize(spark, sf_dir):
     media = MM.attach_fake_media(_t(spark, sf_dir, "documents"))
-    return MM.resize_media(media, max_dim=32, fake=True).select(
+    return MM.resize_media(media, max_dim=32).select(
         "doc_id",
         F.col("src_width").cast("long").alias("src_width"),
         F.col("src_height").cast("long").alias("src_height"),
@@ -587,6 +632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ways_used": q_ways_used,
         "areastats": q_areastats,
         "tags_for": q_tags_for,
+        "shortest_name": q_shortest_name,
+        "geohash_cells": q_geohash_cells,
         "way_points_stats": q_way_points_stats,
         "all_paths": q_all_paths,
         "path_walk": q_path_walk,
@@ -644,6 +691,8 @@ def oracle_sql() -> dict[str, str]:
         "ways_used": O.sql_ways_used(),
         "areastats": O.sql_areastats(),
         "tags_for": O.sql_tags_for(TAGS_FOR_IDS),
+        "shortest_name": O.sql_shortest_name(),
+        "geohash_cells": O.sql_geohash_cells(GEOHASH_POINTS),
         "way_points_stats": O.sql_way_points_stats(),
         "all_paths": O.sql_all_paths(),
         "path_walk": O.sql_path_walk(PATH_WALK_CHAIN),

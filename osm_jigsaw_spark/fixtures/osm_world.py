@@ -275,6 +275,13 @@ def build_world() -> World:
                         [("addr:housename", "Altes Haus")]))
     w.nodes.append(Node(nid.next(), 40.7, -74.0,
                         [("amenity", "bench")]))  # unnamed: excluded
+    # O5 shortest-name tie-break: one entity carrying several name-family
+    # values of different lengths (EntityNameTags.scala:8-11 sorts by
+    # length and takes the head — 'Obs' must win here)
+    w.nodes.append(Node(nid.next(), 45.05, 7.67,
+                        [("name:en", "The Old Observatory House"),
+                         ("name", "Observatory"),
+                         ("addr:housename", "Obs")]))
 
     # geocode probes: centers (bbox-PIP == polygon-PIP for these), plus
     # multi-path point in Fits and an ocean miss.

@@ -93,9 +93,45 @@ def _area_rects(spark: SparkSession, n_areas: int) -> DataFrame:
     return mega.unionByName(tree_rects)
 
 
-def scaled_documents_df(spark: SparkSession, n_areas: int = 20_000) -> DataFrame:
-    """Interleaved-spans documents for the scaled world (way + node docs)."""
-    rects = _area_rects(spark, n_areas)
+def hot_node_rects(spark: SparkSession, n_areas: int) -> DataFrame:
+    """Pathological flat world (skew stress, VERDICT r4 task 6): one
+    world-spanning mega-rect whose covering hits every index cell, over
+    n_areas-1 mutually disjoint small rects — so the mega is the DIRECT
+    parent of every other area, the reference's >100k-children hot node
+    (root README.md:159-161) taken to the limit. Disjoint small rects:
+    a 720x320 grid of 0.25°-wide cells, each rect inset 20%."""
+    grid_x, grid_y = 720, 320
+    df = spark.range(n_areas - 1).select(F.col("id").alias("k"))
+    df = df.withColumn("gx", F.col("k") % grid_x)
+    df = df.withColumn("gy", (F.col("k") / grid_x).cast("long") % grid_y)
+    # >1 area per grid cell only above 230k areas; keep rects disjoint by
+    # shrinking repeats into nested insets (still strictly inside the cell)
+    df = df.withColumn("rep", (F.col("k") / (grid_x * grid_y)).cast("long"))
+    cw = F.lit(0.5)  # cell width/height in degrees
+    inset = (F.lit(0.1) + F.col("rep") * 0.02) * cw
+    small = df.select(
+        (F.col("k") + 1).alias("area_idx"),
+        F.round(F.lit(-80.0) + F.col("gy") * cw + inset, 6).alias("min_lat"),
+        F.round(F.lit(-180.0) + F.col("gx") * cw + inset, 6).alias("min_lon"),
+        F.round(F.lit(-80.0) + (F.col("gy") + 1) * cw - inset, 6)
+        .alias("max_lat"),
+        F.round(F.lit(-180.0) + (F.col("gx") + 1) * cw - inset, 6)
+        .alias("max_lon"),
+    )
+    mega = spark.createDataFrame(
+        [(0, -89.0, -179.9, 89.0, 179.9)],
+        "area_idx long, min_lat double, min_lon double, "
+        "max_lat double, max_lon double")
+    return mega.unionByName(small)
+
+
+def scaled_documents_df(spark: SparkSession, n_areas: int = 20_000,
+                        rects: DataFrame | None = None) -> DataFrame:
+    """Interleaved-spans documents for the scaled world (way + node docs).
+    `rects` overrides the world shape (e.g. hot_node_rects for the skew
+    stress bench)."""
+    if rects is None:
+        rects = _area_rects(spark, n_areas)
     base = rects.select(
         "area_idx",
         (F.lit(2_000_000) + F.col("area_idx")).alias("way_id"),
@@ -174,6 +210,24 @@ def scaled_text_docs(spark: SparkSession, n_docs: int,
     return df.select(
         "doc_id",
         F.concat_ws(" ", F.concat(F.array(head), body)).alias("text"),
+    )
+
+
+def boilerplate_text_docs(spark: SparkSession, n_docs: int,
+                          dup_pct: int = 30, n_tokens: int = 40) -> DataFrame:
+    """Skew-stress corpus (VERDICT r4 task 6): `dup_pct`% of docs carry one
+    IDENTICAL boilerplate text (licence headers / scraped nav chrome at web
+    scale), the rest the uniform scaled_text_docs content. Every boilerplate
+    doc lands in the same LSH band buckets, so the bucket cap must engage
+    (lsh_oversized_buckets discloses it) or the self-join is O((n*pct)²)."""
+    uniform = scaled_text_docs(spark, n_docs, n_tokens)
+    boiler = F.concat_ws(" ", F.array(*[
+        F.substring(F.md5(F.lit(f"boilerplate:{j}")), 1, 6)
+        for j in range(n_tokens)]))
+    return uniform.select(
+        "doc_id",
+        F.when((F.col("doc_id") % 100) < dup_pct, boiler)
+        .otherwise(F.col("text")).alias("text"),
     )
 
 

