@@ -42,9 +42,10 @@ item 4: the single-shot face JSON contradicted the repo's quiet-window
 minima two rounds running — the default is now min-of-3.)
 
 Stage barriers: every heavy materialization goes through
-plans/snapshots.snapshot() — disk-parquet by default after the round-5
-interleaved A/B vs localCheckpoint (BENCH_APPENDIX.md); override with
-SPARK_GRAFT_BARRIER=checkpoint.
+plans/snapshots.snapshot() — localCheckpoint by default after the round-5
+interleaved A/B vs a disk-parquet barrier (checkpoint won the core suite
+68.3 s vs 104.0 s at local[16]; BENCH_APPENDIX.md); override with
+SPARK_GRAFT_BARRIER=parquet.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).

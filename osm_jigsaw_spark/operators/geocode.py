@@ -220,8 +220,8 @@ def geocode(areas: DataFrame, edges: DataFrame, points: DataFrame,
     testing; same output). `idx`: optional shared area_cell_index."""
     # materialize once: `containing` feeds three join branches (child
     # membership, parent membership, path grouping) — without this the
-    # candidate join + PIP would re-run per consumer (disk-parquet
-    # barrier, the measured winner — plans/snapshots.py)
+    # candidate join + PIP would re-run per consumer (localCheckpoint
+    # barrier, the measured round-5 A/B winner — plans/snapshots.py)
     containing = snapshot(
         areas_containing_points(areas, points, idx=idx), "containing")
     if grouped:

@@ -42,8 +42,8 @@ def run_pipeline(documents: DataFrame, cache: bool = True,
     if cache:
         # areas feeds both sides of the containment join and the root
         # anti-join — materialize once (Iceberg snapshot on a cluster;
-        # disk-parquet barrier here, the measured winner over
-        # localCheckpoint — plans/snapshots.py).
+        # localCheckpoint barrier here, the measured round-5 A/B winner
+        # over a disk-parquet barrier — plans/snapshots.py).
         areas = snapshot(areas, "areas")
     edges = G.graph_edges(areas)
     atags = A.area_tags(tags, areas)

@@ -11,16 +11,31 @@ mechanisms exist and they are NOT equivalent at high parallelism:
   round-4 pipeline decomposition (BENCH_APPENDIX.md) measured its snapshot
   write ANTI-scaling — 3.76 s at local[4] -> 6.84 s at local[16] for the
   same bytes (16 writers contending on one BlockManager + one memory bus).
-- parquet snapshot (this module): write the stage to a temp parquet
-  directory and read it back — per-partition parallel file writes through
-  the OS page cache with no shared lock, and the truer analog of the
-  Iceberg stage snapshot a 100 TB run writes anyway
-  (plans/checkpoints.py:80 persists resumable stages exactly this way).
+- parquet snapshot (this module's alternative): write the stage to a temp
+  parquet directory and read it back — per-partition parallel file writes
+  through the OS page cache with no shared lock, the same architecture as
+  the resumable stage writer (plans/checkpoints.py:80).
 
-Round-5 interleaved A/B (tools/ab_snapshot.py; tables in BENCH_APPENDIX.md)
-measured parquet >= checkpoint at every parallelism level, with the gap
-widening where the block manager contends, so ``parquet`` is the default;
-``SPARK_GRAFT_BARRIER=checkpoint`` restores the old behavior for A/Bs.
+Round-5 interleaved A/B (tools/ab_snapshot.py, 3 rounds x both modes x
+local[4]/local[16] at 600k areas; table in BENCH_APPENDIX.md) measured
+CHECKPOINT as the overall winner — core suite total 68.3 s vs parquet's
+104.0 s at local[16], and faster on every spatial query at both levels
+(pipeline_areas 14.6 vs 27.8, containment 17.6 vs 33.2). The round-4
+hypothesis (parquet fixes the 0.55x block-manager write anti-scaling) is
+REFUTED for this engine's payloads: a barrier is consumed by several
+downstream branches, and each consumption re-decodes parquet's nested
+geometry arrays (repetition levels + compression) — repeated codec CPU
+that exceeds what the contended write costs, while localCheckpoint serves
+re-reads from block-manager memory. minhash_scaled is the one query where
+parquet measured faster (30.4 vs 37.9 s at local[4]; 3.6% apart at
+local[16]) — flat 8-byte-long barriers are codec-cheap — but the suite
+mode also switches the input-fixture barriers, so the attribution is
+confounded and not worth a per-site split. ``checkpoint`` is therefore
+the default; ``SPARK_GRAFT_BARRIER=parquet`` selects the alternative for
+A/Bs. On a real cluster the contention term vanishes (per-executor block
+managers), favoring checkpoint further; DURABLE resume points remain
+parquet via plans/checkpoints.py — a different artifact with a different
+job (survive the JVM), not the intra-job barrier this module provides.
 
 Reference analog: the Scala pipeline chains stages through protobuf files
 on disk between JVMs (go.bash:9-17) — the parquet barrier is the same
@@ -37,7 +52,7 @@ import tempfile
 
 from pyspark.sql import DataFrame
 
-DEFAULT_MODE = "parquet"
+DEFAULT_MODE = "checkpoint"
 _ENV = "SPARK_GRAFT_BARRIER"
 
 _root: str | None = None
@@ -56,9 +71,10 @@ def snapshot(df: DataFrame, name: str = "snap",
              mode: str | None = None) -> DataFrame:
     """Materialize ``df`` and return a re-readable barrier over its rows.
 
-    mode: "parquet" (default; per-partition parallel file I/O, the Iceberg
-    snapshot analog) or "checkpoint" (localCheckpoint into the block
-    manager). Resolved from $SPARK_GRAFT_BARRIER when not passed.
+    mode: "checkpoint" (default; localCheckpoint into the block manager —
+    the measured round-5 A/B winner, see module docstring) or "parquet"
+    (temp-dir parquet write+read, per-partition parallel file I/O).
+    Resolved from $SPARK_GRAFT_BARRIER when not passed.
     """
     mode = mode or os.environ.get(_ENV, DEFAULT_MODE)
     if mode == "checkpoint":
