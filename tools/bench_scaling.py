@@ -517,6 +517,15 @@ def main():
             for label, (e, plo, phi) in best.items()
         ] + [
             "",
+            f"Evidence above is at the {n_areas:,}-area input under the",
+            "CURRENT engine fingerprint. Efficiency grows with problem",
+            "size as per-partition work amortizes the fixed floors — the",
+            "round-4 engine measured core 0.50 at 600k vs 0.61 at 2.4 M",
+            "areas over 10 rounds/level (scale sweep preserved in",
+            "BENCH_APPENDIX.md 'Round-4 merged-minima evidence'); the",
+            "current-fp 600k numbers are consistent with that engine's",
+            "600k row, not a regression from its 2.4 M headline.",
+            "",
             "Local-mode strong scaling on one fixed-size input is the",
             "harshest reading of the rule: both levels pay identical",
             "non-parallel costs (driver plan compile, Python worker",
